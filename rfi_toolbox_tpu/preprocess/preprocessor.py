@@ -1,0 +1,311 @@
+"""Preprocessor: waterfall data -> training-ready patch datasets.
+
+Same public API and pipeline-order semantics as the reference
+``Preprocessor`` / ``GPUPreprocessor``
+(rfi_toolbox/preprocessing/preprocessor.py:139-980), rebuilt as a thin
+host-side orchestrator over the batched device pipeline in
+:mod:`rfi_toolbox_tpu.preprocess.pipeline`:
+
+- rotations, patchify, MAD flags, channel extraction and ImageNet
+  normalization all run as a handful of jitted XLA programs over the
+  whole batch (the reference loops per-patch in python with a
+  multiprocessing.Pool; on TPU the batch *is* the parallelism);
+- the data-dependent steps (blank-patch removal, shuffling,
+  ``num_patches`` truncation) are host-side index selection followed by
+  a device gather, so every device shape stays static;
+- ``num_workers`` is accepted for API compatibility and ignored.
+
+Pipeline order (create_dataset, preprocessor.py:198-411):
+  1. rotation augmentation (or flatten baselines x pols)
+  2. patchify (skipped when the waterfall fits in one patch)
+  3-5. normalize/stretch/normalize — real input only, skipped wholesale
+       for complex input
+  6. flags: inference -> zeros; custom -> rotated+patchified; else MAD
+  7. blank-patch removal (skipped in inference mode)
+  8. shuffle (skipped in inference mode), then truncation,
+     3-channel extraction, ImageNet normalization.
+"""
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batched_dataset import ArrayDataset
+from . import pipeline as P
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Preprocessor", "DevicePreprocessor", "GPUPreprocessor", "patchify"]
+
+# Re-export for API parity with `from rfi_toolbox.preprocessing import patchify`.
+patchify = P.patchify
+
+
+def _flatten_waterfalls(data):
+    """(B, P, H, W) or (P, H, W) -> (B*P, H, W) jnp array."""
+    data = jnp.asarray(data)
+    if data.ndim == 3:
+        data = data[jnp.newaxis]
+    if data.ndim != 4:
+        raise ValueError(f"Data must be 3D or 4D, got shape {data.shape}")
+    b, p, h, w = data.shape
+    return data.reshape(b * p, h, w)
+
+
+def _augment_and_patchify(flat, patch_size, num_rotations, do_patch):
+    """Rotation augmentation + patchify for a (M, H, W) batch.
+
+    Returns (patches, patches_per_waterfall_variant) with the reference's
+    per-waterfall variant ordering [orig, flip, T, flipT]
+    (preprocessor.py:429-446). Handles non-square waterfalls by
+    patchifying the transposed group separately and interleaving, since
+    both groups yield the same patch count per waterfall.
+    """
+    group_a, group_b = P.apply_rotations(flat, num_rotations)
+    m, r_a = group_a.shape[0], group_a.shape[1]
+
+    if not do_patch:
+        # Full waterfalls as patches (preprocessor.py:259-269). With 4
+        # rotations this requires square input to stack; reference
+        # produces a ragged list otherwise, which we reject explicitly.
+        if group_b is not None and group_a.shape[-2:] != group_b.shape[-2:]:
+            raise ValueError(
+                "4-way rotation without patchification requires square "
+                f"waterfalls; got {group_a.shape[-2:]}"
+            )
+        groups = [group_a] if group_b is None else [group_a, group_b]
+        patches = jnp.concatenate(groups, axis=1)  # (M, R, H, W)
+        r = patches.shape[1]
+        return patches.reshape(m * r, *patches.shape[2:]), 1
+
+    pa = P.patchify_batch(group_a.reshape(m * r_a, *group_a.shape[2:]), patch_size)
+    k = pa.shape[0] // (m * r_a)
+    pa = pa.reshape(m, r_a, k, patch_size, patch_size)
+    if group_b is None:
+        patches = pa
+    else:
+        pb = P.patchify_batch(group_b.reshape(m * 2, *group_b.shape[2:]), patch_size)
+        pb = pb.reshape(m, 2, k, patch_size, patch_size)
+        patches = jnp.concatenate([pa, pb], axis=1)  # (M, 4, k, p, p)
+    r = patches.shape[1]
+    return patches.reshape(m * r * k, patch_size, patch_size), k
+
+
+class Preprocessor:
+    """Preprocess waterfall data into training patches (device-resident).
+
+    Usage (same contract as reference preprocessor.py:154-172):
+        >>> pre = Preprocessor(data, flags=exact_masks)
+        >>> dataset = pre.create_dataset(patch_size=128, use_custom_flags=True)
+        >>> dataset.images.shape   # (N, 128, 128, 3) float32
+        >>> dataset.labels.shape   # (N, 128, 128) uint8
+    """
+
+    def __init__(self, data, flags=None):
+        """
+        Args:
+            data: waterfalls, shape (baselines, pols, channels, times) or
+                (pols, channels, times); complex or real.
+            flags: optional flag array, same shape as data.
+        """
+        data = np.asarray(data)
+        if data.ndim == 3:
+            data = data[np.newaxis]
+        elif data.ndim != 4:
+            raise ValueError(f"Data must be 3D or 4D, got shape {data.shape}")
+        self.data = data
+        self.flags = None if flags is None else np.asarray(flags)
+        self.patches = None
+        self.patch_flags = None
+        self.dataset = None
+        self.original_shapes = None
+
+    def create_dataset(
+        self,
+        patch_size=128,
+        stretch=None,
+        flag_sigma=5,
+        use_custom_flags=True,
+        num_patches=None,
+        normalize_before_stretch=True,
+        normalize_after_stretch=False,
+        num_workers=4,
+        enable_augmentation=True,
+        augmentation_rotations=4,
+        inference_mode=False,
+        seed=None,
+    ):
+        """Create an ArrayDataset of 3-channel patches + label masks.
+
+        Args mirror the reference (preprocessor.py:198-230).
+        ``num_workers`` is ignored (device-batched execution). ``seed``
+        controls the shuffle permutation (the reference uses the global
+        numpy RNG; here an explicit seed gives reproducibility).
+        """
+        del num_workers  # API compatibility; parallelism is the batch.
+
+        data = self.data
+        is_complex = np.iscomplexobj(data)
+        # Device dtypes: complex64 / float32 (host may carry complex128
+        # for MS round-trip fidelity; compute is single precision).
+        dev_dtype = jnp.complex64 if is_complex else jnp.float32
+        flat = _flatten_waterfalls(data).astype(dev_dtype)
+
+        rotations = augmentation_rotations if enable_augmentation else 1
+        if rotations <= 1:
+            rotations = 1
+
+        h, w = flat.shape[-2:]
+        do_patch = not (h <= patch_size and w <= patch_size)
+        self.original_shapes = [(h, w)] * (
+            flat.shape[0] * (rotations if do_patch else 1)
+        )
+
+        patches, _ = _augment_and_patchify(flat, patch_size, rotations, do_patch)
+
+        have_custom = use_custom_flags and self.flags is not None
+        if have_custom:
+            flag_flat = _flatten_waterfalls(self.flags).astype(jnp.float32)
+            flag_patches, _ = _augment_and_patchify(
+                flag_flat, patch_size, rotations, do_patch
+            )
+            flag_patches = flag_patches > 0
+
+        # Steps 3-5: real data only (preprocessor.py:284-313).
+        if not is_complex:
+            if normalize_before_stretch:
+                patches = P.normalize_by_median(patches)
+            if stretch:
+                patches = P.apply_stretch(patches, stretch)
+            if normalize_after_stretch:
+                patches = P.normalize_by_median(patches)
+
+        # Step 6: flags (preprocessor.py:315-336).
+        if inference_mode:
+            flag_patches = jnp.zeros(patches.shape, dtype=bool)
+        elif have_custom:
+            pass  # already rotated/patchified above
+        else:
+            flag_patches = P.mad_flag_patches(patches, float(flag_sigma))
+
+        # Steps 7-8 + truncation: host-side index selection, device gather.
+        n = patches.shape[0]
+        if not inference_mode:
+            has_flags = np.asarray(jnp.any(flag_patches, axis=(1, 2)))
+            if has_flags.any():
+                keep = np.nonzero(has_flags)[0]
+            else:
+                logger.warning("No flagged patches found - keeping all patches")
+                keep = np.arange(n)
+            rng = np.random.default_rng(seed) if seed is not None else np.random
+            keep = rng.permutation(keep)
+        else:
+            keep = np.arange(n)
+
+        if num_patches and num_patches < len(keep):
+            keep = keep[:num_patches]
+
+        keep_dev = jnp.asarray(keep)
+        patches = jnp.take(patches, keep_dev, axis=0)
+        flag_patches = jnp.take(flag_patches, keep_dev, axis=0)
+
+        # Channel extraction + ImageNet normalization (one device pass).
+        images = P.imagenet_normalize(P.extract_channels(patches))
+
+        self.patches = np.asarray(patches)
+        self.patch_flags = np.asarray(flag_patches)
+
+        metadata = {
+            "patch_size": patch_size,
+            "stretch": stretch,
+            "flag_sigma": flag_sigma,
+            "normalize_before_stretch": normalize_before_stretch,
+            "normalize_after_stretch": normalize_after_stretch,
+            "augmentation_rotations": rotations,
+            "original_shapes": self.original_shapes,
+        }
+        self.dataset = ArrayDataset(
+            np.asarray(images, dtype=np.float32),
+            np.asarray(flag_patches).astype(np.uint8),
+            metadata,
+        )
+        return self.dataset
+
+
+class DevicePreprocessor:
+    """Minimal-host-work preprocessor returning RAW complex patches.
+
+    TPU-native equivalent of the reference ``GPUPreprocessor``
+    (preprocessor.py:786-980): no channel extraction, no ImageNet
+    normalization, no pre-generated augmentation — downstream training
+    applies transforms on device per step. Stores complex patches
+    (half the bytes of 3-channel float32) and skips the 4x augmentation
+    copies.
+    """
+
+    def __init__(self, data, flags=None):
+        data = np.asarray(data)
+        if data.ndim == 3:
+            data = data[np.newaxis]
+        elif data.ndim != 4:
+            raise ValueError(f"Data must be 3D or 4D, got shape {data.shape}")
+        if not np.iscomplexobj(data):
+            raise ValueError(
+                "DevicePreprocessor requires complex data. "
+                "Use standard Preprocessor for real-valued data."
+            )
+        self.data = data
+        self.flags = None if flags is None else np.asarray(flags)
+        self.raw_patches = None
+        self.raw_masks = None
+        self.original_shapes = None
+
+    def create_raw_patches(
+        self,
+        patch_size=256,
+        remove_blank=True,
+        num_patches=None,
+        num_workers=4,
+        seed=None,
+    ):
+        """Patchify + blank-removal + shuffle only; returns
+        (complex_patches (N,H,W) complex64, masks (N,H,W) bool) as numpy
+        arrays (the reference returns python lists,
+        preprocessor.py:846-940)."""
+        del num_workers
+
+        flat = _flatten_waterfalls(self.data).astype(jnp.complex64)
+        if self.flags is not None:
+            flag_flat = _flatten_waterfalls(self.flags) != 0
+        else:
+            flag_flat = jnp.abs(flat) > 0  # preprocessor.py:884
+
+        h, w = flat.shape[-2:]
+        self.original_shapes = [(h, w)] * flat.shape[0]
+        if h <= patch_size and w <= patch_size:
+            patches, masks = flat, flag_flat
+        else:
+            patches = P.patchify_batch(flat, patch_size)
+            masks = P.patchify_batch(flag_flat.astype(jnp.float32), patch_size) > 0
+
+        n = patches.shape[0]
+        rng = np.random.default_rng(seed) if seed is not None else np.random
+        if remove_blank:
+            has_rfi = np.asarray(jnp.any(masks, axis=(1, 2)))
+            keep = np.nonzero(has_rfi)[0]
+        else:
+            keep = np.arange(n)
+        if num_patches and num_patches < len(keep):
+            keep = rng.choice(len(keep), num_patches, replace=False)
+            keep = np.sort(keep)
+        keep = rng.permutation(keep)
+
+        keep_dev = jnp.asarray(keep)
+        self.raw_patches = np.asarray(jnp.take(patches, keep_dev, axis=0))
+        self.raw_masks = np.asarray(jnp.take(masks, keep_dev, axis=0))
+        return self.raw_patches, self.raw_masks
+
+
+# Alias for drop-in compatibility with reference call sites.
+GPUPreprocessor = DevicePreprocessor
