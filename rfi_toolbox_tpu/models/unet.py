@@ -1,0 +1,180 @@
+"""Flax UNet family for RFI segmentation — TPU-native.
+
+Rebuild of the reference PyTorch UNets (rfi_toolbox/models/unet.py:6-268)
+as Flax linen modules:
+
+- NHWC layout (TPU-native; the reference is NCHW)
+- parameterized compute dtype: params live in float32, activations/convs
+  can run in bfloat16 for MXU throughput (``dtype=jnp.bfloat16``)
+- the reference's ``Encoder.forward`` bug — ``self.conv(x)`` called twice,
+  doubling encoder compute (unet.py:27-28) — is fixed: the conv runs once
+  and is reused as the skip connection
+- BatchNorm carries a ``batch_stats`` collection; pass ``train=True`` and
+  make it mutable during training.
+
+Variants (matching the reference surface):
+- ``UNet``: 4 stages, init_features 32, logits output (unet.py:41-77)
+- ``UNetBigger``: 5 stages, 32x bottleneck (unet.py:79-118)
+- ``UNetOverfit``: 5 stages, init_features 128, sigmoid output
+  (unet.py:120-196)
+- ``UNetDifferentActivation``: 4 stages, pluggable activation
+  (unet.py:198-268)
+"""
+
+from collections.abc import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = [
+    "DoubleConv",
+    "Encoder",
+    "Decoder",
+    "UNet",
+    "UNetBigger",
+    "UNetOverfit",
+    "UNetDifferentActivation",
+    "create_model",
+]
+
+
+class DoubleConv(nn.Module):
+    """(Conv3x3 -> BN -> act) x 2."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                        use_bias=False)(x)
+            # momentum 0.9 == torch BatchNorm2d's default (the flax
+            # default 0.99 leaves running stats uncalibrated in short runs)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype
+            )(x)
+            x = self.activation(x)
+        return x
+
+
+class Encoder(nn.Module):
+    """DoubleConv then 2x2 max-pool; returns (pooled, skip).
+
+    The conv runs ONCE (the reference computes it twice, unet.py:27-28).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skip = DoubleConv(self.features, self.dtype, self.activation)(x, train)
+        pooled = nn.max_pool(skip, (2, 2), strides=(2, 2))
+        return pooled, skip
+
+
+class Decoder(nn.Module):
+    """2x2 stride-2 transposed conv, concat skip, DoubleConv."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        up = nn.ConvTranspose(
+            self.features, (2, 2), strides=(2, 2), dtype=self.dtype
+        )(x)
+        x = jnp.concatenate([up, skip], axis=-1)
+        return DoubleConv(self.features, self.dtype, self.activation)(x, train)
+
+
+class _UNetBase(nn.Module):
+    """Shared encoder-decoder skeleton with a configurable depth."""
+
+    out_channels: int = 1
+    init_features: int = 32
+    depth: int = 4
+    dtype: jnp.dtype = jnp.float32
+    activation: Callable = nn.relu
+    final_sigmoid: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.init_features
+        in_dtype = x.dtype
+        x = x.astype(self.dtype)
+
+        skips = []
+        for i in range(self.depth):
+            x, skip = Encoder(f * 2**i, self.dtype, self.activation)(x, train)
+            skips.append(skip)
+
+        x = DoubleConv(f * 2**self.depth, self.dtype, self.activation)(x, train)
+
+        for i in reversed(range(self.depth)):
+            x = Decoder(f * 2**i, self.dtype, self.activation)(x, skips[i], train)
+
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+        x = x.astype(in_dtype if jnp.issubdtype(in_dtype, jnp.floating)
+                     else jnp.float32)
+        if self.final_sigmoid:
+            x = nn.sigmoid(x)
+        return x
+
+
+class UNet(_UNetBase):
+    """4-stage UNet, features 32 -> 512 bottleneck, logits output."""
+
+    depth: int = 4
+    init_features: int = 32
+
+
+class UNetBigger(_UNetBase):
+    """5-stage UNet (reference unet.py:79-118)."""
+
+    depth: int = 5
+    init_features: int = 32
+
+
+class UNetOverfit(_UNetBase):
+    """5-stage high-capacity UNet with sigmoid output
+    (reference unet.py:155-196; init_features defaults to 128)."""
+
+    depth: int = 5
+    init_features: int = 128
+    final_sigmoid: bool = True
+
+
+class UNetDifferentActivation(_UNetBase):
+    """4-stage UNet with pluggable activation (reference unet.py:233-268).
+
+    >>> model = UNetDifferentActivation(activation=nn.leaky_relu)
+    """
+
+    depth: int = 4
+    init_features: int = 32
+
+
+_MODEL_REGISTRY = {
+    "unet": UNet,
+    "unet_bigger": UNetBigger,
+    "unet_overfit": UNetOverfit,
+    "unet_activation": UNetDifferentActivation,
+}
+
+
+def create_model(model_type="unet", out_channels=1, init_features=32,
+                 dtype=jnp.float32, **kwargs):
+    """Factory matching the CLI model names (train_model.py:110-119)."""
+    if model_type not in _MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown model type: {model_type}. "
+            f"Choose from {sorted(_MODEL_REGISTRY)}"
+        )
+    cls = _MODEL_REGISTRY[model_type]
+    return cls(out_channels=out_channels, init_features=init_features,
+               dtype=dtype, **kwargs)

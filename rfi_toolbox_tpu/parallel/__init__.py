@@ -1,0 +1,19 @@
+"""Mesh and sharding helpers for multi-chip execution."""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_params_tensor_parallel,
+    shard_waterfalls,
+)
+
+__all__ = [
+    "make_mesh",
+    "replicated",
+    "batch_sharding",
+    "shard_batch",
+    "shard_params_tensor_parallel",
+    "shard_waterfalls",
+]

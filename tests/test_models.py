@@ -1,0 +1,87 @@
+"""Tests for the Flax UNet family."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rfi_toolbox_tpu.models import (
+    UNet,
+    UNetBigger,
+    UNetDifferentActivation,
+    UNetOverfit,
+    create_model,
+)
+
+
+def _init_and_apply(model, shape=(1, 32, 32, 3)):
+    key = jax.random.key(0)
+    x = jnp.ones(shape, jnp.float32)
+    variables = model.init(key, x, train=False)
+    out = model.apply(variables, x, train=False)
+    return variables, out
+
+
+def test_unet_output_shape():
+    _, out = _init_and_apply(UNet(out_channels=1, init_features=8))
+    assert out.shape == (1, 32, 32, 1)
+    assert out.dtype == jnp.float32
+
+
+def test_unet_bigger_depth5():
+    model = UNetBigger(out_channels=1, init_features=4)
+    variables, out = _init_and_apply(model, (1, 64, 64, 3))
+    assert out.shape == (1, 64, 64, 1)
+    # 5 encoder stages + bottleneck + 5 decoders present
+    names = " ".join(variables["params"].keys())
+    assert names.count("Encoder") == 5 and names.count("Decoder") == 5
+
+
+def test_unet_overfit_sigmoid_output():
+    model = UNetOverfit(out_channels=1, init_features=4)
+    _, out = _init_and_apply(model, (1, 64, 64, 3))
+    out = np.asarray(out)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_unet_different_activation():
+    model = UNetDifferentActivation(
+        out_channels=1, init_features=4, activation=nn.leaky_relu
+    )
+    _, out = _init_and_apply(model)
+    assert out.shape == (1, 32, 32, 1)
+
+
+def test_unet_8_channel_input():
+    # legacy .npy pipeline uses 8 channels (4 pols x re/im)
+    _, out = _init_and_apply(UNet(init_features=4), (2, 32, 32, 8))
+    assert out.shape == (2, 32, 32, 1)
+
+
+def test_bfloat16_compute_keeps_f32_io():
+    model = UNet(init_features=4, dtype=jnp.bfloat16)
+    variables, out = _init_and_apply(model)
+    assert out.dtype == jnp.float32
+    kernel = variables["params"]["Encoder_0"]["DoubleConv_0"]["Conv_0"]["kernel"]
+    assert kernel.dtype == jnp.float32  # params stay f32
+
+
+def test_batch_stats_update_in_train_mode():
+    model = UNet(init_features=4)
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    variables = model.init(key, x, train=False)
+    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["Encoder_0"]["DoubleConv_0"]["BatchNorm_0"]["mean"]
+    after = mutated["batch_stats"]["Encoder_0"]["DoubleConv_0"]["BatchNorm_0"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_create_model_registry():
+    assert isinstance(create_model("unet"), UNet)
+    assert isinstance(create_model("unet_bigger"), UNetBigger)
+    assert isinstance(create_model("unet_overfit"), UNetOverfit)
+    assert isinstance(create_model("unet_activation"), UNetDifferentActivation)
+    with pytest.raises(ValueError, match="Unknown model type"):
+        create_model("nope")

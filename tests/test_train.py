@@ -1,0 +1,101 @@
+"""Tests for losses, the training loop, checkpoint/resume, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rfi_toolbox_tpu.data import ArrayDataset
+from rfi_toolbox_tpu.models import UNet
+from rfi_toolbox_tpu.parallel import make_mesh, shard_batch
+from rfi_toolbox_tpu.train import Trainer, bce_dice_loss, bce_with_logits_loss, dice_loss
+
+
+def test_bce_matches_manual():
+    logits = jnp.array([0.0, 2.0, -2.0])
+    targets = jnp.array([0.0, 1.0, 0.0])
+    probs = jax.nn.sigmoid(logits)
+    want = -jnp.mean(
+        targets * jnp.log(probs) + (1 - targets) * jnp.log(1 - probs)
+    )
+    got = bce_with_logits_loss(logits, targets)
+    assert float(got) == pytest.approx(float(want), rel=1e-5)
+
+
+def test_dice_loss_perfect_prediction():
+    targets = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+    logits = (targets * 2 - 1) * 20.0  # saturated sigmoid
+    assert float(dice_loss(logits, targets)) == pytest.approx(0.0, abs=1e-3)
+
+
+def test_bce_dice_composite():
+    logits = jnp.zeros((4, 4))
+    targets = jnp.zeros((4, 4))
+    got = bce_dice_loss(logits, targets)
+    # bce = log(2); dice = 1 - 1/(0.5*16+1) with smooth 1
+    want = np.log(2.0) + 1.0 - 1.0 / (0.5 * 16 + 1)
+    assert float(got) == pytest.approx(want, rel=1e-4)
+
+
+def _toy_dataset(rng, n=16, size=32):
+    """Patches where the label is a bright vertical stripe: learnable."""
+    images = rng.normal(0, 0.3, (n, size, size, 3)).astype(np.float32)
+    labels = np.zeros((n, size, size), np.uint8)
+    for i in range(n):
+        c = rng.integers(4, size - 4)
+        images[i, :, c - 2 : c + 2, :] += 3.0
+        labels[i, :, c - 2 : c + 2] = 1
+    return ArrayDataset(images, labels)
+
+
+def test_trainer_learns_toy_problem(tmp_path, rng):
+    train_ds = _toy_dataset(rng, n=16)
+    val_ds = _toy_dataset(rng, n=8)
+    model = UNet(out_channels=1, init_features=4)
+    trainer = Trainer(model, learning_rate=3e-3, checkpoint_dir=tmp_path, seed=0)
+    result = trainer.fit(train_ds, val_ds, num_epochs=8, batch_size=8)
+    assert result["epochs_run"] == 8
+    hist = result["history"]
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    assert hist[-1]["val_iou"] > 0.5  # stripe must be found
+    assert result["best_checkpoint"] is not None
+
+    preds = trainer.predict(val_ds.images)
+    assert preds.shape == val_ds.labels.shape
+    assert preds.dtype == bool
+
+
+def test_trainer_resume(tmp_path, rng):
+    train_ds = _toy_dataset(rng, n=8)
+    val_ds = _toy_dataset(rng, n=8)
+    model = UNet(out_channels=1, init_features=4)
+    t1 = Trainer(model, checkpoint_dir=tmp_path / "a", seed=0)
+    r1 = t1.fit(train_ds, val_ds, num_epochs=2, batch_size=8)
+    assert r1["final_checkpoint"] is not None
+
+    t2 = Trainer(model, checkpoint_dir=tmp_path / "b", seed=0)
+    r2 = t2.fit(
+        train_ds, val_ds, num_epochs=3, batch_size=8,
+        resume_from=r1["final_checkpoint"],
+    )
+    # resumed at epoch 2 -> only 1 more epoch runs
+    assert r2["epochs_run"] == 1
+    assert r2["history"][0]["epoch"] == 3
+
+
+def test_train_step_sharded_over_mesh(rng):
+    """SPMD data parallelism over the 8-device CPU mesh."""
+    mesh = make_mesh(axis_names=("data",))
+    assert mesh.shape["data"] == 8
+    train_ds = _toy_dataset(rng, n=16)
+    model = UNet(out_channels=1, init_features=4)
+    trainer = Trainer(model, mesh=mesh, seed=0)
+    result = trainer.fit(train_ds, num_epochs=1, batch_size=16)
+    assert np.isfinite(result["history"][0]["train_loss"])
+
+
+def test_shard_batch_places_on_mesh(rng):
+    mesh = make_mesh(axis_names=("data",))
+    x = rng.random((16, 8, 8)).astype(np.float32)
+    (sharded,) = shard_batch((x,), mesh)
+    assert len(sharded.sharding.device_set) == 8
