@@ -38,8 +38,12 @@ class ArrayDataset:
     """
 
     def __init__(self, images, labels, metadata=None):
-        images = np.asarray(images)
-        labels = np.asarray(labels)
+        # jax arrays stay device-resident (no forced host transfer);
+        # anything else is materialized as numpy.
+        if not hasattr(images, "ndim"):
+            images = np.asarray(images)
+        if not hasattr(labels, "ndim"):
+            labels = np.asarray(labels)
         if len(images) != len(labels):
             raise ValueError("Images and labels must have same length")
         self.images = images

@@ -109,13 +109,16 @@ class Preprocessor:
                 (pols, channels, times); complex or real.
             flags: optional flag array, same shape as data.
         """
-        data = np.asarray(data)
+        # Keep jax arrays device-resident (no host round-trip; complex
+        # transfers are also unimplemented on some TPU backends).
+        if not hasattr(data, "ndim"):
+            data = np.asarray(data)
         if data.ndim == 3:
-            data = data[np.newaxis]
+            data = data[None]
         elif data.ndim != 4:
             raise ValueError(f"Data must be 3D or 4D, got shape {data.shape}")
         self.data = data
-        self.flags = None if flags is None else np.asarray(flags)
+        self.flags = flags
         self.patches = None
         self.patch_flags = None
         self.dataset = None
@@ -213,8 +216,9 @@ class Preprocessor:
         # Channel extraction + ImageNet normalization (one device pass).
         images = P.imagenet_normalize(P.extract_channels(patches))
 
-        self.patches = np.asarray(patches)
-        self.patch_flags = np.asarray(flag_patches)
+        # Device-resident (transfer complex patches only on demand).
+        self.patches = patches
+        self.patch_flags = flag_patches
 
         metadata = {
             "patch_size": patch_size,
@@ -225,9 +229,11 @@ class Preprocessor:
             "augmentation_rotations": rotations,
             "original_shapes": self.original_shapes,
         }
+        # Keep the dataset device-resident; training consumes it on
+        # device, and disk writers pull to host only when needed.
         self.dataset = ArrayDataset(
-            np.asarray(images, dtype=np.float32),
-            np.asarray(flag_patches).astype(np.uint8),
+            images.astype(jnp.float32),
+            flag_patches.astype(jnp.uint8),
             metadata,
         )
         return self.dataset
@@ -245,9 +251,10 @@ class DevicePreprocessor:
     """
 
     def __init__(self, data, flags=None):
-        data = np.asarray(data)
+        if not hasattr(data, "ndim"):
+            data = np.asarray(data)
         if data.ndim == 3:
-            data = data[np.newaxis]
+            data = data[None]
         elif data.ndim != 4:
             raise ValueError(f"Data must be 3D or 4D, got shape {data.shape}")
         if not np.iscomplexobj(data):
@@ -256,7 +263,7 @@ class DevicePreprocessor:
                 "Use standard Preprocessor for real-valued data."
             )
         self.data = data
-        self.flags = None if flags is None else np.asarray(flags)
+        self.flags = flags
         self.raw_patches = None
         self.raw_masks = None
         self.original_shapes = None
