@@ -1,0 +1,71 @@
+"""CLI ``evaluate_rfi_model``: evaluate a checkpoint on a dataset dir.
+
+Rebuild of the reference (scripts/evaluate_model.py:18-91) using the
+batched device metric reduction instead of a per-batch python loop.
+"""
+
+import argparse
+
+import numpy as np
+
+__all__ = ["main", "evaluate_model"]
+
+
+def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
+                   model_type="unet", init_features=32, threshold=0.5):
+    """Average IoU/precision/recall/F1/Dice of a checkpoint over a
+    sample-directory dataset. Returns the metric dict."""
+    import jax
+
+    from rfi_toolbox_tpu.evaluation import evaluate_segmentation_batch
+    from rfi_toolbox_tpu.models import create_model
+    from rfi_toolbox_tpu.train import Trainer
+    from .train_model import load_sample_dir_dataset
+
+    ds = load_sample_dir_dataset(dataset_dir)
+    model = create_model(model_type, init_features=init_features)
+    trainer = Trainer(model)
+    trainer.restore(model_path, ds.images.shape[1:])
+
+    all_metrics = []
+    for start in range(0, len(ds), batch_size):
+        imgs = ds.images[start : start + batch_size]
+        labels = ds.labels[start : start + batch_size]
+        preds = trainer.predict(imgs, batch_size=batch_size, threshold=threshold)
+        m = evaluate_segmentation_batch(preds, labels > 0)
+        all_metrics.append(jax.tree.map(lambda a: np.asarray(a), m))
+    return {
+        k: float(np.mean(np.concatenate([m[k] for m in all_metrics])))
+        for k in all_metrics[0]
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Evaluate a trained RFI masking model."
+    )
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--dataset_dir", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--in_channels", type=int, default=8)
+    parser.add_argument("--model_type", type=str, default="unet")
+    parser.add_argument("--init_features", type=int, default=32)
+    args = parser.parse_args(argv)
+
+    from rfi_toolbox_tpu.utils.platform import configure_platform
+
+    configure_platform(args.device)
+
+    results = evaluate_model(
+        args.model_path, args.dataset_dir, args.batch_size,
+        args.in_channels, args.model_type, args.init_features,
+    )
+    print("Evaluation Results:")
+    for metric, value in results.items():
+        print(f"  {metric}: {value:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""CLI ``train_rfi_model``: train a UNet on the 8-channel .npy pipeline.
+
+Rebuild of the reference (scripts/train_model.py:82-197):
+- same loss (BCE+Dice), Adam + weight decay, grad clip 1.0, NaN stop,
+  best-val + final checkpoints;
+- ``--checkpoint_path`` RESUME WORKS (the reference parses but ignores
+  it, train_model.py:93-94);
+- AMP GradScaler is replaced by bfloat16 compute (no loss scaling);
+- augmentation: random flips/transposes applied host-side per epoch
+  (replacing albumentations, train_model.py:44-55).
+"""
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+__all__ = ["main", "load_sample_dir_dataset"]
+
+
+def load_sample_dir_dataset(data_dir, normalized_data_dir=None,
+                            normalization=None):
+    """Walk sample dirs for input.npy/rfi_mask.npy pairs into an
+    ArrayDataset with NHWC images (train_model.py:16-42)."""
+    from rfi_toolbox_tpu.data import ArrayDataset, RFIMaskDataset
+
+    base = normalized_data_dir if normalized_data_dir else data_dir
+    ds = RFIMaskDataset(base, normalization=normalization)
+    images, labels = [], []
+    for i in range(len(ds)):
+        x, m = ds[i]  # (C, F, T), (1, F, T)
+        images.append(np.transpose(x, (1, 2, 0)))  # NHWC
+        labels.append(m[0].astype(np.uint8))
+    return ArrayDataset(np.stack(images), np.stack(labels))
+
+
+def _augment(images, labels, rng):
+    """Random hflip/vflip/transpose per sample (in place of
+    albumentations' HFlip/VFlip/Rotate, train_model.py:46-54)."""
+    out_i, out_l = [], []
+    for x, y in zip(images, labels):
+        if rng.random() < 0.5:
+            x, y = x[::-1], y[::-1]
+        if rng.random() < 0.5:
+            x, y = x[:, ::-1], y[:, ::-1]
+        if x.shape[0] == x.shape[1] and rng.random() < 0.5:
+            x, y = np.transpose(x, (1, 0, 2)), y.T
+        out_i.append(np.ascontiguousarray(x))
+        out_l.append(np.ascontiguousarray(y))
+    return np.stack(out_i), np.stack(out_l)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train a UNet model for RFI masking"
+    )
+    parser.add_argument("--train_dir", type=str, default="rfi_dataset/train")
+    parser.add_argument("--val_dir", type=str, default="rfi_dataset/val")
+    parser.add_argument("--normalized_data_dir", type=str, default=None)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--num_epochs", type=int, default=50)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--device", type=str, default=None,
+                        help="'cpu' forces the CPU platform; default uses "
+                        "the ambient JAX platform (TPU when available)")
+    parser.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    parser.add_argument("--in_channels", type=int, default=8)
+    parser.add_argument("--checkpoint_path", type=str, default=None,
+                        help="Resume training from this checkpoint")
+    parser.add_argument("--new_lr", type=float, default=None,
+                        help="Override learning rate when resuming")
+    parser.add_argument("--weight_decay", type=float, default=1e-5)
+    parser.add_argument(
+        "--normalization", type=str, default=None,
+        choices=["global_min_max", "standardize", "robust_scale", None],
+    )
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument(
+        "--model_type", type=str, default="unet",
+        choices=["unet", "unet_bigger", "unet_overfit", "unet_activation"],
+    )
+    parser.add_argument("--init_features", type=int, default=32)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    from rfi_toolbox_tpu.utils.platform import configure_platform
+
+    configure_platform(args.device)
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.data import ArrayDataset
+    from rfi_toolbox_tpu.models import create_model
+    from rfi_toolbox_tpu.train import Trainer
+
+    train_ds = load_sample_dir_dataset(
+        args.train_dir, args.normalized_data_dir, args.normalization
+    )
+    val_ds = load_sample_dir_dataset(
+        args.val_dir, args.normalized_data_dir, args.normalization
+    )
+    logging.info("train=%d samples, val=%d samples, image=%s",
+                 len(train_ds), len(val_ds), train_ds.images.shape[1:])
+
+    if args.augment:
+        rng = np.random.default_rng(args.seed)
+        ai, al = _augment(train_ds.images, train_ds.labels, rng)
+        train_ds = ArrayDataset(
+            np.concatenate([train_ds.images, ai]),
+            np.concatenate([train_ds.labels, al]),
+        )
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model = create_model(
+        args.model_type, init_features=args.init_features, dtype=dtype
+    )
+    lr = args.new_lr if (args.checkpoint_path and args.new_lr) else args.lr
+    trainer = Trainer(
+        model,
+        learning_rate=lr,
+        weight_decay=args.weight_decay,
+        checkpoint_dir=args.checkpoint_dir,
+        seed=args.seed,
+    )
+    result = trainer.fit(
+        train_ds,
+        val_ds,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        resume_from=args.checkpoint_path,
+    )
+    for rec in result["history"]:
+        logging.info(
+            "Epoch %d - train %.4f%s",
+            rec["epoch"], rec["train_loss"],
+            f" - val {rec['val_loss']:.4f} (iou {rec.get('val_iou', 0):.3f})"
+            if "val_loss" in rec else "",
+        )
+    logging.info("Training finished. Best val loss: %.4f",
+                 result["best_val_loss"])
+    logging.info("Final model saved to %s", result["final_checkpoint"])
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,12 @@
 """Dataset containers and on-disk batch storage."""
 
 from .batched_dataset import ArrayDataset, BatchWriter, TorchDataset, load_batches
+from .rfi_mask_dataset import RFIMaskDataset
 
-__all__ = ["ArrayDataset", "TorchDataset", "BatchWriter", "load_batches"]
+__all__ = [
+    "ArrayDataset",
+    "TorchDataset",
+    "BatchWriter",
+    "load_batches",
+    "RFIMaskDataset",
+]

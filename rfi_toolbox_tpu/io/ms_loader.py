@@ -1,0 +1,367 @@
+"""MS Loader - load CASA measurement sets for RFI analysis.
+
+Same public API and semantics as the reference MSLoader
+(io/ms_loader.py:28-561), with two structural changes:
+
+- a pluggable table backend: a filesystem path uses casatools (optional
+  dependency), while a :class:`~rfi_toolbox_tpu.io.fake_ms.FakeMS`
+  instance is used directly — so the full load/flag round trip is
+  testable without CASA;
+- loading returns host numpy arrays staged for ``jax.device_put``
+  (complex128 on host for MS fidelity; the device pipeline downcasts to
+  complex64).
+
+Key semantics preserved (SURVEY.md §2.1):
+- only SPWs whose channel count equals SPW 0's are loaded
+  (ms_loader.py:169-179);
+- baselines with zero rows are skipped and excluded from
+  ``antenna_baseline_map`` (:230-235);
+- ``num_antennas`` limits only the ANTENNA1 loop; ANTENNA2 runs over all
+  antennas (:199-200);
+- per-baseline x SPW TaQL queries
+  ``DATA_DESC_ID==s && ANTENNA1==i && ANTENNA2==j [&& FIELD_ID==f]``.
+"""
+
+import gc
+
+import numpy as np
+
+from .fake_ms import FakeMS
+
+__all__ = ["MSLoader"]
+
+
+def _is_fake(ms):
+    return isinstance(ms, FakeMS)
+
+
+def _open_main(ms, nomodify=True):
+    if _is_fake(ms):
+        return ms.table()
+    from casatools import table  # noqa: PLC0415  (optional dependency)
+
+    tb = table()
+    tb.open(str(ms), nomodify=nomodify)
+    return tb
+
+
+def _open_sub(ms, name):
+    if _is_fake(ms):
+        return ms.table(name)
+    from casatools import table  # noqa: PLC0415
+
+    tb = table()
+    tb.open(str(ms) + "/" + name)
+    return tb
+
+
+class MSLoader:
+    """Load complex visibilities from CASA measurement sets.
+
+    >>> loader = MSLoader('observation.ms', field_id=0)   # casatools
+    >>> loader = MSLoader(make_fake_ms())                  # in-memory
+    >>> loader.load(num_antennas=5, mode='DATA')
+    >>> data = loader.data          # (baselines, pols, channels, times)
+    >>> flags = loader.load_flags()
+    """
+
+    def __init__(self, ms_path, field_id=None):
+        self.ms_path = ms_path if _is_fake(ms_path) else str(ms_path)
+        self.field_id = field_id
+
+        tb = _open_sub(self.ms_path, "ANTENNA")
+        self.num_antennas = tb.nrows()
+        tb.close()
+
+        tb = _open_sub(self.ms_path, "SPECTRAL_WINDOW")
+        self.num_spw = tb.nrows()
+        self.channels_per_spw = np.asarray(tb.getcol("NUM_CHAN"))
+        tb.close()
+
+        self.tb = _open_main(self.ms_path, nomodify=False)
+
+        field_filter = (
+            f" && FIELD_ID=={self.field_id}" if self.field_id is not None else ""
+        )
+        subtable = self.tb.query(
+            f"DATA_DESC_ID==0 && ANTENNA1==0 && ANTENNA2==1{field_filter}"
+        )
+        self.num_times = len(subtable.getcol("TIME"))
+        subtable.close()
+
+        self.data = None
+        self.flags = None
+        self.antenna_baseline_map = None
+        self.spw_list = None
+        self.channels_per_spw_list = None
+
+    # -- helpers ----------------------------------------------------------
+    def _field_filter(self, field_id=None):
+        fid = self.field_id if field_id is None else field_id
+        return f" && FIELD_ID=={fid}" if fid is not None else ""
+
+    def _same_spws(self, channels_per_spw=None):
+        """SPWs matching SPW 0's channel count (ms_loader.py:169-179)."""
+        cps = (
+            self.channels_per_spw if channels_per_spw is None else channels_per_spw
+        )
+        same_spw, same_chan = [], []
+        for spw, num_chan in enumerate(cps):
+            if num_chan == cps[0]:
+                same_spw.append(spw)
+                same_chan.append(int(num_chan))
+        return same_spw, same_chan
+
+    # -- metadata ---------------------------------------------------------
+    def get_metadata(self, num_antennas=None, mode="DATA"):
+        """MS shape metadata without loading data (dminfo hypercube
+        CellShape, ms_loader.py:88-147)."""
+        if num_antennas is None:
+            num_antennas = self.num_antennas
+
+        dminfo = self.tb.getdminfo()
+        data_sm = None
+        for _, info in dminfo.items():
+            if mode in info.get("COLUMNS", []):
+                data_sm = info
+                break
+        if data_sm is None:
+            raise ValueError(f"Column {mode} not found in MS")
+        hypercubes = data_sm["SPEC"]["HYPERCUBES"]
+        if not hypercubes:
+            raise ValueError(f"No hypercube info for {mode}")
+        cell_shape = list(hypercubes.values())[0]["CellShape"]
+        num_pols, num_channels = int(cell_shape[0]), int(cell_shape[1])
+
+        baseline_map = [
+            (i, j)
+            for i in range(num_antennas)
+            for j in range(i + 1, num_antennas)
+        ]
+        return {
+            "num_baselines": len(baseline_map),
+            "num_pols": num_pols,
+            "num_channels": num_channels,
+            "num_times": self.num_times,
+            "baseline_map": baseline_map,
+            "num_spws": len(self.channels_per_spw),
+            "total_channels": int(np.sum(self.channels_per_spw)),
+            "channels_per_spw": self.channels_per_spw.tolist(),
+            "shape": (
+                len(baseline_map),
+                num_pols,
+                num_channels,
+                self.num_times,
+            ),
+        }
+
+    # -- bulk load --------------------------------------------------------
+    def load(self, num_antennas=None, mode="DATA", field_id=None):
+        """Load visibilities -> (baselines, pols, total_channels, times)
+        complex128 (ms_loader.py:149-245)."""
+        if num_antennas is None:
+            num_antennas = self.num_antennas
+        if field_id is not None:
+            self.field_id = field_id
+
+        same_spw_list, same_channels_list = self._same_spws()
+        num_channels = same_channels_list[0]
+        total_channels = len(same_spw_list) * num_channels
+        ff = self._field_filter()
+
+        data_list, baseline_map = [], []
+        for i in range(num_antennas):
+            for j in range(i + 1, self.num_antennas):
+                baseline_data = np.zeros(
+                    [4, total_channels, self.num_times], dtype="complex128"
+                )
+                has_data = False
+                for spw_idx, spw in enumerate(same_spw_list):
+                    subtable = self.tb.query(
+                        f"DATA_DESC_ID=={spw} && ANTENNA1=={i} && ANTENNA2=={j}{ff}"
+                    )
+                    if subtable.nrows() == 0:
+                        subtable.close()
+                        continue
+                    has_data = True
+                    spw_data = subtable.getcol(mode)
+                    start = spw_idx * num_channels
+                    baseline_data[:, start : start + num_channels, :] = spw_data
+                    subtable.close()
+                if has_data:
+                    data_list.append(baseline_data)
+                    baseline_map.append((i, j))
+
+        self.data = np.stack(data_list)
+        self.antenna_baseline_map = baseline_map
+        self.spw_list = same_spw_list
+        self.channels_per_spw_list = same_channels_list
+        return self.data
+
+    def load_single_baseline(self, ant1=0, ant2=1, pol_idx=0, mode="DATA",
+                             field_id=None):
+        """One baseline, one polarization -> (total_channels, times)
+        (ms_loader.py:247-319). Raises if the baseline has no rows."""
+        if field_id is not None:
+            self.field_id = field_id
+        same_spw_list, same_channels_list = self._same_spws()
+        num_channels = same_channels_list[0]
+        total_channels = len(same_spw_list) * num_channels
+        ff = self._field_filter()
+
+        baseline_data = np.zeros([total_channels, self.num_times], "complex128")
+        for spw_idx, spw in enumerate(same_spw_list):
+            subtable = self.tb.query(
+                f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && ANTENNA2=={ant2}{ff}"
+            )
+            if subtable.nrows() == 0:
+                subtable.close()
+                raise ValueError(
+                    f"No data for baseline {ant1}-{ant2} in SPW {spw}"
+                )
+            spw_data = subtable.getcol(mode)
+            start = spw_idx * num_channels
+            baseline_data[start : start + num_channels, :] = spw_data[pol_idx]
+            subtable.close()
+        return baseline_data
+
+    def load_baseline(self, ant1, ant2, mode="DATA", field_id=None):
+        """One baseline, all pols; self-contained open/close per call
+        for out-of-core streaming (ms_loader.py:321-381)."""
+        tb = _open_main(self.ms_path, nomodify=False)
+        tb_spw = _open_sub(self.ms_path, "SPECTRAL_WINDOW")
+        channels_per_spw = np.asarray(tb_spw.getcol("NUM_CHAN"))
+        tb_spw.close()
+
+        same_spw_list, same_channels_list = self._same_spws(channels_per_spw)
+        num_channels = same_channels_list[0]
+        total_channels = len(same_spw_list) * num_channels
+        ff = f" && FIELD_ID=={field_id}" if field_id is not None else ""
+
+        test_sub = tb.query(
+            f"DATA_DESC_ID=={same_spw_list[0]} && ANTENNA1=={ant1} && "
+            f"ANTENNA2=={ant2}{ff}"
+        )
+        num_times = test_sub.nrows()
+        test_sub.close()
+
+        baseline_data = np.zeros([4, total_channels, num_times], "complex128")
+        for spw_idx, spw in enumerate(same_spw_list):
+            subtable = tb.query(
+                f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && ANTENNA2=={ant2}{ff}"
+            )
+            if subtable.nrows() == 0:
+                subtable.close()
+                continue
+            spw_data = subtable.getcol(mode)
+            start = spw_idx * num_channels
+            baseline_data[:, start : start + num_channels, :] = spw_data
+            subtable.close()
+        tb.close()
+        return baseline_data
+
+    def save_baseline_flags(self, ant1, ant2, flags, field_id=None):
+        """Write flags for one baseline; self-contained open/close
+        (ms_loader.py:383-426)."""
+        tb = _open_main(self.ms_path, nomodify=False)
+        tb_spw = _open_sub(self.ms_path, "SPECTRAL_WINDOW")
+        channels_per_spw = np.asarray(tb_spw.getcol("NUM_CHAN"))
+        tb_spw.close()
+
+        same_spw_list, same_channels_list = self._same_spws(channels_per_spw)
+        num_channels = same_channels_list[0]
+        ff = f" && FIELD_ID=={field_id}" if field_id is not None else ""
+
+        for spw_idx, spw in enumerate(same_spw_list):
+            start = spw_idx * num_channels
+            spw_flags = flags[:, start : start + num_channels, :]
+            subtable = tb.query(
+                f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && ANTENNA2=={ant2}{ff}"
+            )
+            if subtable.nrows() > 0:
+                subtable.putcol("FLAG", np.asarray(spw_flags, dtype=bool))
+            subtable.close()
+        tb.close()
+
+    def get_baseline_pairs(self, num_antennas=None):
+        """All (ant1 < ant2) pairs (ms_loader.py:428-442)."""
+        if num_antennas is None:
+            num_antennas = self.num_antennas
+        return [
+            (i, j)
+            for i in range(num_antennas)
+            for j in range(i + 1, num_antennas)
+        ]
+
+    def load_flags(self):
+        """FLAG column with the load() layout (ms_loader.py:444-489)."""
+        if self.antenna_baseline_map is None:
+            raise ValueError("Must call load() first to establish baseline map")
+        ff = self._field_filter()
+        num_channels = self.channels_per_spw_list[0]
+        total_channels = len(self.spw_list) * num_channels
+
+        flags_list = []
+        for ant1, ant2 in self.antenna_baseline_map:
+            baseline_flags = np.zeros(
+                [4, total_channels, self.num_times], dtype=bool
+            )
+            for spw_idx, spw in enumerate(self.spw_list):
+                subtable = self.tb.query(
+                    f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && "
+                    f"ANTENNA2=={ant2}{ff}"
+                )
+                spw_flags = subtable.getcol("FLAG")
+                start = spw_idx * num_channels
+                baseline_flags[:, start : start + num_channels, :] = spw_flags
+                subtable.close()
+            flags_list.append(baseline_flags)
+
+        self.flags = np.stack(flags_list)
+        return self.flags
+
+    def save_flags(self, flags):
+        """Write flags (baselines, pols, channels, times) back to the
+        FLAG column (ms_loader.py:491-530)."""
+        if self.antenna_baseline_map is None:
+            raise ValueError("Must call load() first to establish baseline map")
+        ff = self._field_filter()
+        num_channels = self.channels_per_spw_list[0]
+
+        for baseline_idx, (ant1, ant2) in enumerate(self.antenna_baseline_map):
+            baseline_flags = flags[baseline_idx]
+            for spw_idx, spw in enumerate(self.spw_list):
+                start = spw_idx * num_channels
+                spw_flags = baseline_flags[:, start : start + num_channels, :]
+                subtable = self.tb.query(
+                    f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && "
+                    f"ANTENNA2=={ant2}{ff}"
+                )
+                subtable.putcol("FLAG", np.asarray(spw_flags, dtype=bool))
+                subtable.close()
+
+    def get_available_fields(self):
+        """Sorted unique FIELD_IDs (ms_loader.py:532-540)."""
+        field_ids = np.unique(self.tb.getcol("FIELD_ID"))
+        return sorted(int(f) for f in field_ids)
+
+    def close(self):
+        if hasattr(self, "tb") and self.tb is not None:
+            self.tb.close()
+            self.tb = None
+        self.data = None
+        self.flags = None
+        gc.collect()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    @property
+    def magnitude(self):
+        """|visibilities| (ms_loader.py:556-561)."""
+        if self.data is None:
+            raise ValueError("Must call load() first")
+        return np.abs(self.data)

@@ -64,9 +64,22 @@ def batch_sharding(mesh, axis="data"):
 
 
 def shard_batch(batch, mesh, axis="data"):
-    """Device-put a pytree of batch arrays with leading-dim sharding."""
+    """Device-put a pytree of batch arrays with leading-dim sharding.
+
+    Arrays whose leading dim is not divisible by the mesh axis are
+    replicated instead (a 2-sample batch on an 8-chip mesh still runs,
+    just without data parallelism for that step).
+    """
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    rep = replicated(mesh)
+    n = mesh.shape[axis]
+
+    def put(a):
+        target = sh if (hasattr(a, "shape") and a.shape and a.shape[0] % n == 0) \
+            else rep
+        return jax.device_put(a, target)
+
+    return jax.tree.map(put, batch)
 
 
 def shard_params_tensor_parallel(params, mesh, min_features=256, axis="model"):

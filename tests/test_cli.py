@@ -1,0 +1,139 @@
+"""End-to-end CLI tests: generate -> normalize -> train -> evaluate,
+plus the MS-extraction and RFIMaskDataset paths."""
+
+import numpy as np
+import pytest
+
+from rfi_toolbox_tpu.cli.evaluate_model import evaluate_model
+from rfi_toolbox_tpu.cli.generate_dataset import main as generate_main
+from rfi_toolbox_tpu.cli.normalize_data import main as normalize_main
+from rfi_toolbox_tpu.cli.normalize_data import normalize_array
+from rfi_toolbox_tpu.cli.train_model import main as train_main
+from rfi_toolbox_tpu.data import RFIMaskDataset
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    out = tmp_path_factory.mktemp("rfi_ds")
+    generate_main([
+        "--samples_training", "3", "--samples_validation", "2",
+        "--output_dir", str(out), "--time_bins", "64",
+        "--frequency_bins", "64", "--seed", "1", "--batch_size", "2",
+    ])
+    return out
+
+
+def test_generate_dataset_layout(tiny_dataset):
+    train = tiny_dataset / "train"
+    dirs = sorted(p.name for p in train.iterdir())
+    assert dirs == ["0000", "0001", "0002"]
+    x = np.load(train / "0000" / "input.npy")
+    m = np.load(train / "0000" / "rfi_mask.npy")
+    assert x.shape == (8, 64, 64) and x.dtype == np.float32
+    assert m.shape == (64, 64)
+    assert m.any()  # RFI present
+    assert (tiny_dataset / "val" / "0001" / "input.npy").exists()
+
+
+def test_generate_only_clean(tmp_path):
+    generate_main([
+        "--samples_training", "2", "--only_clean",
+        "--output_dir", str(tmp_path), "--time_bins", "32",
+        "--frequency_bins", "32",
+    ])
+    m = np.load(tmp_path / "train" / "0000" / "rfi_mask.npy")
+    assert not m.any()
+
+
+def test_rfi_mask_dataset_over_generated(tiny_dataset):
+    ds = RFIMaskDataset(str(tiny_dataset / "train"))
+    assert len(ds) == 3
+    x, m = ds[0]
+    assert x.shape == (8, 64, 64)
+    assert m.shape == (1, 64, 64)
+    assert 0.0 <= x.min() and x.max() <= 1.0  # global_min_max default
+
+
+def test_rfi_mask_dataset_from_fake_ms(tmp_path):
+    from rfi_toolbox_tpu.io import make_fake_ms
+
+    ms = make_fake_ms(num_antennas=3, channels_per_spw=(16,), num_times=8)
+    ds = RFIMaskDataset(str(tmp_path), use_ms=True, ms_name=ms)
+    assert len(ds) == 3  # 3 baselines
+    x, m = ds[0]
+    assert x.shape == (8, 16, 8)
+    assert m.shape == (1, 16, 8)  # mask matches (chan, time) — bug fixed
+    assert ds.antenna_baseline_map == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_normalize_cli(tiny_dataset, tmp_path, capsys):
+    out = tmp_path / "norm"
+    normalize_main([
+        "--input_dir", str(tiny_dataset / "train"),
+        "--output_dir", str(out), "--normalization", "standardize",
+    ])
+    captured = capsys.readouterr().out
+    assert "Processed 3/3" in captured
+    x = np.load(out / "0000" / "input.npy")
+    assert abs(float(x.mean())) < 1e-3  # standardized
+    assert (out / "0000" / "rfi_mask.npy").exists()
+
+
+def test_normalize_array_methods(rng):
+    x = rng.normal(5, 2, (32, 32))
+    z = normalize_array(x, "standardize")
+    assert abs(z.mean()) < 1e-9 and abs(z.std() - 1) < 1e-9
+    r = normalize_array(x, "robust_scale")
+    assert abs(np.median(r)) < 1e-9
+    g = normalize_array(x, "global_min_max")
+    assert g.min() == 0.0 and g.max() == 1.0
+    assert normalize_array(x, None) is x
+
+
+def test_train_and_evaluate_cli(tiny_dataset, tmp_path):
+    result = train_main([
+        "--train_dir", str(tiny_dataset / "train"),
+        "--val_dir", str(tiny_dataset / "val"),
+        "--batch_size", "2", "--num_epochs", "2", "--lr", "1e-3",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--init_features", "4", "--compute_dtype", "float32",
+        "--augment",
+    ])
+    assert result["epochs_run"] == 2
+    assert result["final_checkpoint"] is not None
+
+    metrics = evaluate_model(
+        result["final_checkpoint"], str(tiny_dataset / "val"),
+        batch_size=2, init_features=4,
+    )
+    assert set(metrics) == {"iou", "precision", "recall", "f1", "dice"}
+    assert all(0.0 <= v <= 1.0 for v in metrics.values())
+
+
+def test_train_resume_cli(tiny_dataset, tmp_path):
+    r1 = train_main([
+        "--train_dir", str(tiny_dataset / "train"),
+        "--val_dir", str(tiny_dataset / "val"),
+        "--batch_size", "2", "--num_epochs", "1",
+        "--checkpoint_dir", str(tmp_path / "c1"),
+        "--init_features", "4", "--compute_dtype", "float32",
+    ])
+    r2 = train_main([
+        "--train_dir", str(tiny_dataset / "train"),
+        "--val_dir", str(tiny_dataset / "val"),
+        "--batch_size", "2", "--num_epochs", "2",
+        "--checkpoint_dir", str(tmp_path / "c2"),
+        "--checkpoint_path", r1["final_checkpoint"],
+        "--new_lr", "5e-4",
+        "--init_features", "4", "--compute_dtype", "float32",
+    ])
+    assert r2["history"][0]["epoch"] == 2  # resumed past epoch 1
+
+
+def test_visualize_static_png(tiny_dataset, tmp_path):
+    pytest.importorskip("matplotlib")
+    from rfi_toolbox_tpu.visualization.visualize import save_static_grid
+
+    out = save_static_grid(str(tiny_dataset / "train"),
+                           str(tmp_path / "grid.png"), num_samples=2)
+    assert (tmp_path / "grid.png").stat().st_size > 1000
