@@ -1,5 +1,12 @@
 """Flax segmentation models."""
 
+from .instance import (
+    SOLOLite,
+    assign_targets,
+    matrix_nms,
+    solo_decode,
+    solo_loss,
+)
 from .unet import (
     Decoder,
     DoubleConv,
@@ -20,4 +27,9 @@ __all__ = [
     "Encoder",
     "Decoder",
     "create_model",
+    "SOLOLite",
+    "solo_loss",
+    "solo_decode",
+    "assign_targets",
+    "matrix_nms",
 ]

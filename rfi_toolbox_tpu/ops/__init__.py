@@ -1,0 +1,11 @@
+"""Pallas TPU kernels for the hot preprocessing ops.
+
+Each kernel has a jnp reference implementation in
+:mod:`rfi_toolbox_tpu.preprocess.pipeline` used for parity testing and
+as the CPU/interpret fallback.
+"""
+
+from .fused_channels import fused_extract_channels
+from .mad_flags import mad_flag_patches_pallas
+
+__all__ = ["fused_extract_channels", "mad_flag_patches_pallas"]

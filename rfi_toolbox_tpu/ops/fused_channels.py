@@ -1,0 +1,145 @@
+"""Fused 3-channel patch extraction — Pallas TPU kernel.
+
+The hottest loop of the reference is per-patch channel extraction in
+python (preprocessor.py:367-377 calling :562-606): |z| -> log10 ->
+forward-difference gradient -> per-patch min/max normalization -> fixed
+log window -> phase -> ImageNet normalization. The jnp pipeline already
+fuses most of this; the Pallas kernel goes further and does the WHOLE
+chain — including the per-patch min/max reduction and the ImageNet
+affine — in one VMEM-resident pass per 128x128 patch, with no
+intermediate HBM traffic.
+
+Input is complex split into (real, imag) float32 planes (Mosaic has no
+complex dtype); outputs are three (N, H, W) planes stacked to NHWC by a
+single XLA transpose at the end (a trailing dim of 3 would break lane
+tiling inside the kernel).
+
+A jnp reference implementation with identical math lives in
+:func:`rfi_toolbox_tpu.preprocess.pipeline.extract_channels`; parity is
+tested to 2e-5.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..preprocess.pipeline import IMAGENET_MEAN, IMAGENET_STD, LOG_MAX, LOG_MIN
+
+__all__ = ["fused_extract_channels"]
+
+# atan(t)/t as a polynomial in s = t^2 on t in [0, 1] (Chebyshev fit,
+# max abs error 2.1e-9) — Mosaic has no atan/atan2 lowering, so the
+# kernel evaluates the quadrant-corrected polynomial on the VPU.
+_ATAN_COEFFS = (
+    1.0, -0.33333297, 0.19998542, -0.1426439, 0.1095345,
+    -0.08407879, 0.05804045, -0.03126451, 0.01096244, -0.00180449,
+)
+
+
+def _atan2(y, x):
+    """Elementwise atan2 with numpy angle() semantics (atan2(0, 0) = 0,
+    atan2(0, -1) = pi), built from the [0, 1] polynomial via the
+    min/max identity and quadrant corrections."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.maximum(hi, 1e-30)
+    s = t * t
+    p = jnp.float32(_ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        p = p * s + jnp.float32(c)
+    r = t * p
+    half_pi = jnp.float32(jnp.pi / 2)
+    r = jnp.where(ay > ax, half_pi - r, r)
+    r = jnp.where(x < 0, jnp.float32(jnp.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _kernel(re_ref, im_ref, grad_ref, amp_ref, phase_ref):
+    # A block of B patches per program: amortizes grid overhead while
+    # keeping every intermediate in VMEM.
+    re = re_ref[:]
+    im = im_ref[:]
+
+    amplitude = jnp.sqrt(re * re + im * im)
+    log_amp = jnp.log10(amplitude + 1e-10)
+
+    # np.diff semantics: first row/col of each derivative is zero
+    # (preprocessor.py:581-585) — duplicating the edge row/col into the
+    # shifted operand makes those entries cancel exactly.
+    h = log_amp.shape[1]
+    shifted_r = jnp.concatenate([log_amp[:, :1], log_amp[:, : h - 1]], axis=1)
+    td = log_amp - shifted_r
+    shifted_c = jnp.concatenate(
+        [log_amp[:, :, :1], log_amp[:, :, :-1]], axis=2
+    )
+    fd = log_amp - shifted_c
+    gradient = jnp.sqrt(td * td + fd * fd)
+
+    # per-patch min/max normalization (VMEM-resident reductions;
+    # axis-by-axis — multi-axis keepdims reductions lower via an
+    # unsupported vector reshape in Mosaic)
+    lo = jnp.min(jnp.min(gradient, axis=2, keepdims=True), axis=1,
+                 keepdims=True)
+    hi = jnp.max(jnp.max(gradient, axis=2, keepdims=True), axis=1,
+                 keepdims=True)
+    span = hi - lo
+    grad_norm = jnp.where(
+        span > 0, (gradient - lo) / jnp.where(span > 0, span, 1.0), 0.0
+    )
+
+    log_norm = jnp.clip((log_amp - LOG_MIN) / (LOG_MAX - LOG_MIN), 0.0, 1.0)
+    phase = _atan2(im, re)
+    phase_norm = (phase + jnp.pi) / (2.0 * jnp.pi)
+
+    # ImageNet affine folded in per channel
+    grad_ref[:] = (grad_norm - IMAGENET_MEAN[0]) / IMAGENET_STD[0]
+    amp_ref[:] = (log_norm - IMAGENET_MEAN[1]) / IMAGENET_STD[1]
+    phase_ref[:] = (phase_norm - IMAGENET_MEAN[2]) / IMAGENET_STD[2]
+
+
+@partial(jax.jit, static_argnames=("interpret", "block"))
+def fused_extract_channels(patches, interpret=False, block=8):
+    """(N, H, W) complex64 -> (N, H, W, 3) float32, ImageNet-normalized.
+
+    ``block`` patches per grid program; every intermediate lives in VMEM
+    (8 x 128 x 128 x ~6 f32 buffers ~= 3 MB, well under the 16 MB VMEM).
+
+    Args:
+        patches: complex64 (or float32, treated as zero-imag) patches.
+        interpret: run the Pallas interpreter (CPU testing).
+        block: patches per grid program (N is padded to a multiple).
+    """
+    if jnp.iscomplexobj(patches):
+        re = jnp.real(patches).astype(jnp.float32)
+        im = jnp.imag(patches).astype(jnp.float32)
+    else:
+        re = patches.astype(jnp.float32)
+        im = jnp.zeros_like(re)
+
+    n, h, w = re.shape
+    block = min(block, n) or 1
+    pad = (-n) % block
+    if pad:
+        re = jnp.concatenate([re, jnp.ones((pad, h, w), re.dtype)], axis=0)
+        im = jnp.concatenate([im, jnp.zeros((pad, h, w), im.dtype)], axis=0)
+    m = re.shape[0]
+
+    spec = pl.BlockSpec(
+        (block, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((m, h, w), jnp.float32)
+
+    grad, amp, phase = pl.pallas_call(
+        _kernel,
+        grid=(m // block,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(re, im)
+    out = jnp.stack([grad, amp, phase], axis=-1)
+    return out[:n] if pad else out

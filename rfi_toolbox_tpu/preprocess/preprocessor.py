@@ -43,8 +43,13 @@ patchify = P.patchify
 
 
 def _flatten_waterfalls(data):
-    """(B, P, H, W) or (P, H, W) -> (B*P, H, W) jnp array."""
-    data = jnp.asarray(data)
+    """(B, P, H, W) or (P, H, W) -> (B*P, H, W) jnp array.
+
+    Complex numpy input is staged as real/imag planes (complex
+    host->device transfer is unimplemented on some TPU runtimes)."""
+    from ..utils.transfer import to_device
+
+    data = to_device(data)
     if data.ndim == 3:
         data = data[jnp.newaxis]
     if data.ndim != 4:
@@ -138,6 +143,7 @@ class Preprocessor:
         augmentation_rotations=4,
         inference_mode=False,
         seed=None,
+        use_pallas="auto",
     ):
         """Create an ArrayDataset of 3-channel patches + label masks.
 
@@ -145,8 +151,15 @@ class Preprocessor:
         ``num_workers`` is ignored (device-batched execution). ``seed``
         controls the shuffle permutation (the reference uses the global
         numpy RNG; here an explicit seed gives reproducibility).
+        ``use_pallas``: True/False/'auto' — use the fused Pallas TPU
+        kernels for MAD flags and channel extraction ('auto' = on any
+        non-CPU backend; parity with the jnp path is tested).
         """
         del num_workers  # API compatibility; parallelism is the batch.
+        if use_pallas == "auto":
+            import jax
+
+            use_pallas = jax.default_backend() != "cpu"
 
         data = self.data
         is_complex = np.iscomplexobj(data)
@@ -190,7 +203,14 @@ class Preprocessor:
         elif have_custom:
             pass  # already rotated/patchified above
         else:
-            flag_patches = P.mad_flag_patches(patches, float(flag_sigma))
+            if use_pallas:
+                from ..ops import mad_flag_patches_pallas
+
+                flag_patches = mad_flag_patches_pallas(
+                    patches, float(flag_sigma)
+                )
+            else:
+                flag_patches = P.mad_flag_patches(patches, float(flag_sigma))
 
         # Steps 7-8 + truncation: host-side index selection, device gather.
         n = patches.shape[0]
@@ -213,8 +233,14 @@ class Preprocessor:
         patches = jnp.take(patches, keep_dev, axis=0)
         flag_patches = jnp.take(flag_patches, keep_dev, axis=0)
 
-        # Channel extraction + ImageNet normalization (one device pass).
-        images = P.imagenet_normalize(P.extract_channels(patches))
+        # Channel extraction + ImageNet normalization (one device pass;
+        # the Pallas kernel fuses the whole chain per patch block).
+        if use_pallas:
+            from ..ops import fused_extract_channels
+
+            images = fused_extract_channels(patches)
+        else:
+            images = P.imagenet_normalize(P.extract_channels(patches))
 
         # Device-resident (transfer complex patches only on demand).
         self.patches = patches

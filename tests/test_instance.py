@@ -1,0 +1,141 @@
+"""Tests for the SOLOLite dense instance segmentation stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax import random
+
+from rfi_toolbox_tpu.models import (
+    SOLOLite,
+    assign_targets,
+    matrix_nms,
+    solo_decode,
+    solo_loss,
+)
+from rfi_toolbox_tpu.models.instance import instance_masks_from_outputs
+from rfi_toolbox_tpu.synth.sample import make_instance_sample_generator
+
+
+def _model(grid=8, features=8, embed=16):
+    return SOLOLite(num_classes=6, grid_size=grid, embed_dim=embed,
+                    features=features)
+
+
+def test_forward_shapes():
+    model = _model()
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["cate_logits"].shape == (2, 8, 8, 6)
+    assert out["kernels"].shape == (2, 8, 8, 16)
+    assert out["mask_feats"].shape == (2, 16, 16, 16)
+    masks = instance_masks_from_outputs(out)
+    assert masks.shape == (2, 64, 16, 16)
+
+
+def test_assign_targets_center_region():
+    # one instance: a block in the top-left quadrant
+    inst = np.zeros((1, 2, 64, 64), np.float32)
+    inst[0, 0, 8:24, 8:24] = 1.0
+    classes = np.array([[3, 0]], np.int32)
+    valid = np.array([[True, False]])
+    cate_t, mask_idx = assign_targets(
+        jnp.asarray(inst), jnp.asarray(classes), jnp.asarray(valid), 8, 6
+    )
+    cate_t, mask_idx = np.asarray(cate_t), np.asarray(mask_idx)
+    # instance center (15.5, 15.5): nearest 8x8-grid cell over 64px is
+    # (1, 1) (center 12); it must claim the instance
+    assert cate_t[0, 1, 1] == 3
+    assert mask_idx[0, 1, 1] == 0
+    # far cells are background
+    assert cate_t[0, 7, 7] == 6
+    assert mask_idx[0, 7, 7] == -1
+    # invalid instance never assigned
+    assert (mask_idx != 1).all()
+
+
+def test_assign_targets_smallest_wins():
+    # two overlapping instances; the smaller claims the contested cell
+    inst = np.zeros((1, 2, 64, 64), np.float32)
+    inst[0, 0, :, :] = 1.0            # huge
+    inst[0, 1, 28:36, 28:36] = 1.0    # small, centered
+    classes = np.array([[0, 1]], np.int32)
+    valid = np.array([[True, True]])
+    _, mask_idx = assign_targets(
+        jnp.asarray(inst), jnp.asarray(classes), jnp.asarray(valid), 8, 6
+    )
+    assert np.asarray(mask_idx)[0, 3, 3] == 1  # small instance wins center
+
+
+def test_matrix_nms_suppresses_duplicates():
+    masks = np.zeros((3, 16, 16), bool)
+    masks[0, :8] = True
+    masks[1, :8] = True           # duplicate of 0
+    masks[2, 8:] = True           # distinct
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    classes = jnp.asarray([0, 0, 0])
+    decayed = np.asarray(matrix_nms(jnp.asarray(masks), scores, classes))
+    assert decayed[0] == pytest.approx(0.9, abs=1e-5)   # top kept
+    assert decayed[1] < 0.2                              # duplicate decayed
+    assert decayed[2] == pytest.approx(0.7, abs=1e-5)   # distinct kept
+
+
+def test_instance_generator_and_loss_decreases(rng):
+    gen = make_instance_sample_generator(
+        64, 64,
+        rfi_config={"narrowband_persistent": {"count": 2},
+                    "broadband_persistent": {"count": 1}},
+    )
+    keys = random.split(random.key(0), 4)
+    batch = jax.vmap(gen)(keys)
+    wf = batch["waterfall"]
+    assert wf.shape == (4, 64, 64)
+    inst = batch["inst_masks"]
+    assert inst.shape[0] == 4 and inst.shape[2:] == (64, 64)
+    assert bool(batch["inst_valid"].all())
+
+    # 3-channel images from the preprocessing pipeline
+    from rfi_toolbox_tpu.preprocess import pipeline as P
+
+    images = P.imagenet_normalize(P.extract_channels(wf))
+
+    model = _model()
+    variables = model.init(random.key(1), images, train=False)
+    params = variables["params"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p}, images, train=False)
+            total, parts = solo_loss(
+                out, batch["inst_masks"], batch["inst_classes"],
+                batch["inst_valid"],
+            )
+            return total, parts
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(12):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9  # optimizes
+
+
+def test_solo_decode_static_shapes():
+    model = _model()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    single = jax.tree.map(lambda a: a[0], out)
+    dec = solo_decode(single, score_thresh=0.0)
+    assert dec["masks"].shape == (64, 16, 16)
+    assert dec["scores"].shape == (64,)
+    assert dec["classes"].shape == (64,)

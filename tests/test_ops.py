@@ -1,0 +1,78 @@
+"""Parity tests for the Pallas kernels (interpret mode on CPU) against
+the jnp reference pipeline."""
+
+import numpy as np
+import pytest
+
+from rfi_toolbox_tpu.ops import fused_extract_channels, mad_flag_patches_pallas
+from rfi_toolbox_tpu.preprocess import pipeline as P
+
+
+def _complex_patches(rng, n=2, h=64, w=64, with_rfi=True):
+    amp = rng.uniform(0.5, 2.0, (n, h, w))
+    if with_rfi:
+        amp[:, 10:12, :] = 2e6
+    phase = rng.uniform(0, 2 * np.pi, (n, h, w))
+    return (amp * np.exp(1j * phase)).astype(np.complex64)
+
+
+def test_fused_channels_parity(rng):
+    patches = _complex_patches(rng)
+    got = np.asarray(fused_extract_channels(patches, interpret=True))
+    want = np.asarray(P.imagenet_normalize(P.extract_channels(patches)))
+    assert got.shape == want.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_channels_real_input(rng):
+    patches = rng.uniform(0.1, 10.0, (2, 32, 32)).astype(np.float32)
+    got = np.asarray(fused_extract_channels(patches, interpret=True))
+    # real input treated as zero imaginary part: phase == 0 -> norm 0.5,
+    # then ImageNet affine
+    expected_phase = (0.5 - 0.406) / 0.225
+    np.testing.assert_allclose(got[..., 2], expected_phase, atol=1e-5)
+
+
+def test_mad_flags_parity(rng):
+    patches = rng.normal(1.0, 0.1, (3, 64, 64)).astype(np.float32)
+    patches[0, 5:7, :] = 60.0
+    patches[1, :, 9] = -40.0
+    got = np.asarray(mad_flag_patches_pallas(patches, 5.0, interpret=True))
+    want = np.asarray(P.mad_flag_patches(patches, 5.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mad_flags_complex_parity(rng):
+    patches = _complex_patches(rng, n=2)
+    got = np.asarray(mad_flag_patches_pallas(patches, 5.0, interpret=True))
+    want = np.asarray(P.mad_flag_patches(patches, 5.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mad_flags_exact_median_selection(rng):
+    """Radix-select must produce numpy's exact median (mean of middle
+    two for even counts) — verify through the threshold boundary."""
+    # craft a patch where median/MAD are known exactly
+    base = np.full((1, 8, 8), 10.0, np.float32)
+    base[0, 0, :4] = 20.0  # a few outliers
+    got = np.asarray(mad_flag_patches_pallas(base, 5.0, interpret=True))
+    want = np.asarray(P.mad_flag_patches(base, 5.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mad_flags_with_nans(rng):
+    patches = rng.normal(1.0, 0.1, (1, 32, 32)).astype(np.float32)
+    patches[0, 3, :] = 90.0
+    patches[0, 10, 10] = np.nan
+    got = np.asarray(mad_flag_patches_pallas(patches, 5.0, interpret=True))
+    want = np.asarray(P.mad_flag_patches(patches, 5.0))
+    np.testing.assert_array_equal(got, want)
+    assert not got[0, 10, 10]  # NaN never flagged
+
+
+def test_mad_flags_sigma_scalar_traced(rng):
+    patches = rng.normal(1.0, 0.1, (1, 16, 16)).astype(np.float32)
+    patches[0, 2, :] = 50.0
+    f5 = np.asarray(mad_flag_patches_pallas(patches, 5.0, interpret=True))
+    f500 = np.asarray(mad_flag_patches_pallas(patches, 500.0, interpret=True))
+    assert f5.sum() >= f500.sum()
