@@ -6,6 +6,7 @@
 """
 
 from .fake_ms import FakeMS, FakeTable, make_fake_ms
+from .flagging import flag_measurement_set, flag_waterfalls
 from .ms_injection import inject_synthetic_data
 from .ms_loader import MSLoader
 
@@ -19,6 +20,8 @@ except ImportError:
 __all__ = [
     "MSLoader",
     "inject_synthetic_data",
+    "flag_measurement_set",
+    "flag_waterfalls",
     "FakeMS",
     "FakeTable",
     "make_fake_ms",

@@ -1,0 +1,185 @@
+"""End-to-end measurement-set flagging (BASELINE config 5).
+
+``flag_measurement_set`` ties the whole stack together: MS load (host)
+-> device-resident preprocessing -> MAD or model inference -> patch
+reassembly -> FLAG write-back. The reference stops short of this — it
+has no unpatchify and leaves reassembly to the caller (SURVEY.md §3.5).
+
+Throughput design:
+- visibilities stream per baseline block; host I/O for block i+1
+  overlaps device compute for block i via a single prefetch thread
+  (the per-baseline TaQL queries are the wall-clock floor, SURVEY.md §7);
+- all device work is one jitted program per block shape: patchify ->
+  3-channel extraction -> model forward (or fused MAD kernel) ->
+  unpatchify, with complex transfers staged as real/imag planes.
+"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..preprocess import pipeline as P
+from ..utils.transfer import to_device
+from .ms_loader import MSLoader
+
+__all__ = ["flag_measurement_set", "flag_waterfalls"]
+
+
+def _mad_flag_fn(sigma, use_pallas):
+    def fn(flat):
+        if use_pallas:
+            from ..ops import mad_flag_patches_pallas
+
+            return mad_flag_patches_pallas(flat, float(sigma))
+        return P.mad_flag_patches(flat, float(sigma))
+
+    return fn
+
+
+def flag_waterfalls(
+    waterfalls,
+    method="mad",
+    sigma=5.0,
+    patch_size=128,
+    predictor=None,
+    threshold=0.5,
+    use_pallas="auto",
+):
+    """Flag a batch of waterfalls on device.
+
+    Args:
+        waterfalls: (M, C, T) complex/real device or host array.
+        method: 'mad' (per-patch MAD threshold) or 'model'.
+        predictor: for method='model': callable (N, p, p, 3) float32 ->
+            (N, p, p) bool (e.g. ``Trainer.predict``).
+        use_pallas: kernel dispatch ('auto' = non-CPU backends).
+
+    Returns:
+        (M, C, T) bool flags (device array).
+    """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() != "cpu"
+    flat = to_device(waterfalls)
+    if flat.ndim != 3:
+        raise ValueError(f"Expected (M, C, T) waterfalls, got {flat.shape}")
+    m, c, t = flat.shape
+
+    if c <= patch_size and t <= patch_size:
+        patches = flat
+        patched = False
+    else:
+        patches = P.patchify_batch(flat, patch_size)
+        patched = True
+
+    if method == "mad":
+        flags = _mad_flag_fn(sigma, use_pallas)(patches)
+    elif method == "model":
+        if predictor is None:
+            raise ValueError("method='model' requires a predictor")
+        if use_pallas:
+            from ..ops import fused_extract_channels
+
+            images = fused_extract_channels(patches)
+        else:
+            images = P.imagenet_normalize(P.extract_channels(patches))
+        preds = jnp.asarray(predictor(images))
+        flags = preds if preds.dtype == bool else preds > threshold
+    else:
+        raise ValueError(f"Unknown method '{method}' (use 'mad' or 'model')")
+
+    if patched:
+        flags = P.unpatchify_batch(flags.astype(jnp.float32), m, c, t) > 0
+    return flags
+
+
+def flag_measurement_set(
+    ms,
+    method="mad",
+    sigma=5.0,
+    patch_size=128,
+    predictor=None,
+    threshold=0.5,
+    num_antennas=None,
+    mode="DATA",
+    field_id=None,
+    merge_existing=False,
+    use_pallas="auto",
+):
+    """Flag an entire measurement set and write the FLAG column back.
+
+    The full config-5 round trip: per-baseline visibilities stream
+    through the device pipeline with host I/O prefetching overlapped
+    with compute; flags are written back per baseline.
+
+    Args:
+        ms: MS path or FakeMS.
+        method: 'mad' or 'model' (see :func:`flag_waterfalls`).
+        num_antennas: limit the ANTENNA1 loop (reference semantics).
+        merge_existing: OR new flags into the existing FLAG column.
+
+    Returns:
+        dict: {'baselines': int, 'flagged_fraction': float}
+    """
+    loader = MSLoader(ms, field_id=field_id)
+    pairs = [
+        (i, j)
+        for i in range(num_antennas or loader.num_antennas)
+        for j in range(i + 1, loader.num_antennas)
+    ]
+
+    # Prefetch thread: load baseline i+1 while the device flags i.
+    loaded = {}
+    lock = threading.Lock()
+
+    def load_one(pair):
+        try:
+            data = loader.load_baseline(pair[0], pair[1], mode=mode,
+                                        field_id=field_id)
+        except Exception:
+            data = None
+        with lock:
+            loaded[pair] = data
+
+    total_flagged = 0.0
+    total_pixels = 0
+    n_done = 0
+
+    prefetch = threading.Thread(target=load_one, args=(pairs[0],))
+    prefetch.start()
+    for idx, pair in enumerate(pairs):
+        prefetch.join()
+        data = loaded.pop(pair)
+        if idx + 1 < len(pairs):
+            prefetch = threading.Thread(target=load_one, args=(pairs[idx + 1],))
+            prefetch.start()
+        if data is None or data.shape[-1] == 0:
+            continue
+
+        # (4, C, T) complex128 -> device complex64 pipeline
+        flags = flag_waterfalls(
+            data.astype(np.complex64),
+            method=method,
+            sigma=sigma,
+            patch_size=patch_size,
+            predictor=predictor,
+            threshold=threshold,
+            use_pallas=use_pallas,
+        )
+        flags_host = np.asarray(flags)
+        if merge_existing:
+            existing = loader.load_baseline_flags(pair[0], pair[1],
+                                                  field_id=field_id)
+            flags_host = flags_host | existing
+        loader.save_baseline_flags(pair[0], pair[1], flags_host,
+                                   field_id=field_id)
+        total_flagged += float(flags_host.sum())
+        total_pixels += flags_host.size
+        n_done += 1
+
+    loader.close()
+    return {
+        "baselines": n_done,
+        "flagged_fraction": total_flagged / max(total_pixels, 1),
+    }

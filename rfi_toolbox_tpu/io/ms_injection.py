@@ -135,8 +135,12 @@ def inject_synthetic_data(
                     f"non-uniform row shapes. Aborting injection. (error: {e})"
                 ) from e
 
+            # casacore getcol puts the row axis LAST; search from the
+            # end so square cells (nchan == nrows) resolve correctly
+            # (the reference searches from the front and mis-injects
+            # transposed data in that case, ms_injection.py:187-190)
             row_axis = None
-            for ax in range(existing.ndim):
+            for ax in reversed(range(existing.ndim)):
                 if existing.shape[ax] == nrows:
                     row_axis = ax
                     break

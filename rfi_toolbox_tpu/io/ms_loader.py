@@ -260,6 +260,40 @@ class MSLoader:
         tb.close()
         return baseline_data
 
+    def load_baseline_flags(self, ant1, ant2, field_id=None):
+        """FLAG column for one baseline -> (4, total_channels, times)
+        bool; self-contained open/close (companion to load_baseline)."""
+        tb = _open_main(self.ms_path, nomodify=False)
+        tb_spw = _open_sub(self.ms_path, "SPECTRAL_WINDOW")
+        channels_per_spw = np.asarray(tb_spw.getcol("NUM_CHAN"))
+        tb_spw.close()
+
+        same_spw_list, same_channels_list = self._same_spws(channels_per_spw)
+        num_channels = same_channels_list[0]
+        total_channels = len(same_spw_list) * num_channels
+        ff = f" && FIELD_ID=={field_id}" if field_id is not None else ""
+
+        test_sub = tb.query(
+            f"DATA_DESC_ID=={same_spw_list[0]} && ANTENNA1=={ant1} && "
+            f"ANTENNA2=={ant2}{ff}"
+        )
+        num_times = test_sub.nrows()
+        test_sub.close()
+
+        flags = np.zeros([4, total_channels, num_times], dtype=bool)
+        for spw_idx, spw in enumerate(same_spw_list):
+            subtable = tb.query(
+                f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && ANTENNA2=={ant2}{ff}"
+            )
+            if subtable.nrows() == 0:
+                subtable.close()
+                continue
+            start = spw_idx * num_channels
+            flags[:, start : start + num_channels, :] = subtable.getcol("FLAG")
+            subtable.close()
+        tb.close()
+        return flags
+
     def save_baseline_flags(self, ant1, ant2, flags, field_id=None):
         """Write flags for one baseline; self-contained open/close
         (ms_loader.py:383-426)."""

@@ -36,6 +36,7 @@ import numpy as np
 __all__ = [
     "patchify",
     "patchify_batch",
+    "unpatchify_batch",
     "apply_rotations",
     "extract_channels",
     "imagenet_normalize",
@@ -102,6 +103,23 @@ def patchify_batch(waterfalls, patch_size):
     x = x.reshape(b, nh, patch_size, nw, patch_size)
     x = x.transpose(0, 1, 3, 2, 4)
     return x.reshape(b * nh * nw, patch_size, patch_size)
+
+
+@partial(jax.jit, static_argnames=("num_waterfalls", "height", "width"))
+def unpatchify_batch(patches, num_waterfalls, height, width):
+    """Inverse of :func:`patchify_batch`: (B*n_h*n_w, p, p) row-major
+    patches -> (B, height, width), cropping the zero padding.
+
+    The reference keeps only ``original_shapes`` metadata and provides
+    no reconstruction helper (SURVEY.md §3.5) — this closes that gap so
+    inference round trips waterfall -> patches -> masks -> waterfall.
+    """
+    p = patches.shape[-1]
+    nh = -(-height // p)
+    nw = -(-width // p)
+    x = patches.reshape(num_waterfalls, nh, nw, p, p)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(num_waterfalls, nh * p, nw * p)
+    return x[:, :height, :width]
 
 
 def apply_rotations(data, num_rotations):

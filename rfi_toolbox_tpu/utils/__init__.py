@@ -1,5 +1,18 @@
 """Utilities: errors, profiling, and small helpers."""
 
 from .errors import ConfigValidationError, DataShapeError, RFIToolboxError
+from .platform import configure_platform
+from .profiling import StepTimer, annotate, trace
+from .transfer import to_device, to_host
 
-__all__ = ["RFIToolboxError", "ConfigValidationError", "DataShapeError"]
+__all__ = [
+    "RFIToolboxError",
+    "ConfigValidationError",
+    "DataShapeError",
+    "configure_platform",
+    "StepTimer",
+    "annotate",
+    "trace",
+    "to_device",
+    "to_host",
+]

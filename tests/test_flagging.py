@@ -1,0 +1,100 @@
+"""Tests for the end-to-end MS flagging pipeline (config 5)."""
+
+import numpy as np
+import pytest
+
+from rfi_toolbox_tpu.evaluation import evaluate_segmentation
+from rfi_toolbox_tpu.io import (
+    MSLoader,
+    flag_measurement_set,
+    flag_waterfalls,
+    inject_synthetic_data,
+    make_fake_ms,
+)
+from rfi_toolbox_tpu.preprocess import pipeline as P
+
+
+def _rfi_ms(rng, nchan=128, ntime=128, n_ant=3):
+    """FakeMS with an injected RFI stripe and known truth mask."""
+    ms = make_fake_ms(num_antennas=n_ant, channels_per_spw=(nchan,),
+                      num_times=ntime, seed=None)  # zero data
+    n_bl = n_ant * (n_ant - 1) // 2
+    base = rng.normal(1.0, 0.1, (n_bl, 4, nchan, ntime))
+    truth = np.zeros((n_bl, 4, nchan, ntime), bool)
+    base[:, :, 40:44, :] += 3e3
+    truth[:, :, 40:44, :] = True
+    base[:, :, :, 90:95] += 3e3
+    truth[:, :, :, 90:95] = True
+    vis = base * np.exp(1j * rng.uniform(0, 2 * np.pi, base.shape))
+    out = inject_synthetic_data(ms, vis.astype(np.complex128))
+    return out, truth
+
+
+def test_unpatchify_roundtrip(rng):
+    wf = rng.random((3, 200, 300)).astype(np.float32)
+    patches = P.patchify_batch(wf, 128)
+    back = np.asarray(P.unpatchify_batch(patches, 3, 200, 300))
+    np.testing.assert_array_equal(back, wf)
+
+
+def test_flag_waterfalls_mad(rng):
+    base = rng.normal(1.0, 0.1, (2, 256, 256))
+    truth = np.zeros((2, 256, 256), bool)
+    base[:, 100:104, :] += 1e4
+    truth[:, 100:104, :] = True
+    vis = (base * np.exp(1j * rng.uniform(0, 6.28, base.shape))).astype(
+        np.complex64
+    )
+    flags = np.asarray(flag_waterfalls(vis, method="mad", sigma=5.0))
+    m = evaluate_segmentation(flags, truth)
+    assert m["recall"] > 0.99
+    assert m["precision"] > 0.5
+
+
+def test_flag_waterfalls_model_predictor(rng):
+    vis = (rng.normal(1.0, 0.1, (1, 256, 256))).astype(np.complex64)
+
+    def fake_predictor(images):
+        # flag where the log_amp channel is above its mean
+        la = np.asarray(images)[..., 1]
+        return la > la.mean()
+
+    flags = np.asarray(
+        flag_waterfalls(vis, method="model", predictor=fake_predictor)
+    )
+    assert flags.shape == (1, 256, 256)
+
+
+def test_flag_waterfalls_bad_method(rng):
+    with pytest.raises(ValueError, match="method"):
+        flag_waterfalls(np.zeros((1, 8, 8), np.complex64), method="nope")
+
+
+def test_flag_measurement_set_roundtrip(rng):
+    ms, truth = _rfi_ms(rng)
+    result = flag_measurement_set(ms, method="mad", sigma=5.0, patch_size=128)
+    assert result["baselines"] == 3
+    assert 0.0 < result["flagged_fraction"] < 0.5
+
+    loader = MSLoader(ms)
+    loader.load()
+    flags = loader.load_flags()
+    m = evaluate_segmentation(flags, truth)
+    assert m["recall"] > 0.95  # the injected stripes are caught
+
+
+def test_flag_measurement_set_merge_existing(rng):
+    ms, truth = _rfi_ms(rng)
+    # pre-set one flag bit that MAD would never set
+    loader = MSLoader(ms)
+    pre = np.zeros((4, 128, 128), bool)
+    pre[0, 0, 0] = True
+    loader.save_baseline_flags(0, 1, pre)
+
+    flag_measurement_set(ms, method="mad", sigma=5.0, merge_existing=True)
+    back = loader.load_baseline_flags(0, 1)
+    assert back[0, 0, 0]  # preserved by the merge
+
+    flag_measurement_set(ms, method="mad", sigma=5.0, merge_existing=False)
+    back = loader.load_baseline_flags(0, 1)
+    assert not back[0, 0, 0]  # overwritten without merge
