@@ -47,6 +47,7 @@ _LAZY_MODULES = {
     "config",
     "io",
     "cli",
+    "native",
     "visualization",
 }
 

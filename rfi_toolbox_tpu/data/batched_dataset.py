@@ -108,7 +108,19 @@ class BatchWriter:
         writer.finalize()
     """
 
-    def __init__(self, output_dir, samples_per_batch=100):
+    def __init__(self, output_dir, samples_per_batch=100, format="npz"):
+        """
+        Args:
+            output_dir: directory for batch files.
+            samples_per_batch: samples per batch file.
+            format: 'npz' (single container per batch) or 'npy'
+                (separate batch_NNN.images.npy / .labels.npy pair —
+                the layout the native fastio prefetching reader
+                consumes without container parsing).
+        """
+        if format not in ("npz", "npy"):
+            raise ValueError(f"format must be 'npz' or 'npy', got {format!r}")
+        self.format = format
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.samples_per_batch = samples_per_batch
@@ -148,8 +160,13 @@ class BatchWriter:
         cut = n if final else (n // self.samples_per_batch) * self.samples_per_batch
         for start in range(0, cut, self.samples_per_batch):
             end = min(start + self.samples_per_batch, cut)
-            batch_file = self.output_dir / f"batch_{self.batch_file_idx:03d}.npz"
-            np.savez(batch_file, images=images[start:end], labels=labels[start:end])
+            stem = self.output_dir / f"batch_{self.batch_file_idx:03d}"
+            if self.format == "npy":
+                np.save(f"{stem}.images.npy", images[start:end])
+                np.save(f"{stem}.labels.npy", labels[start:end])
+            else:
+                np.savez(f"{stem}.npz", images=images[start:end],
+                         labels=labels[start:end])
             self.total_samples += end - start
             self.batch_file_idx += 1
         if cut < n:
@@ -167,18 +184,39 @@ class BatchWriter:
             "mask_shape": self._last_shapes[1],
             "dtype": self._last_dtype,
             "format_version": 1,
+            "file_format": self.format,
         }
         with open(self.output_dir / "metadata.json", "w") as f:
             json.dump(metadata, f, indent=2)
         return metadata
 
 
-def load_batches(directory):
+def load_batches(directory, prefetch=True):
     """Yield ArrayDataset per batch file in a BatchWriter directory.
 
-    Supports native batch_NNN.npz and reference-format batch_NNN.pt.
+    Supports batch_NNN.npz, raw batch_NNN.{images,labels}.npy pairs
+    (read through the native threaded prefetcher when available), and
+    reference-format batch_NNN.pt.
     """
     directory = Path(directory)
+    npy_imgs = sorted(directory.glob("batch_*.images.npy"))
+    if npy_imgs:
+        labels_files = [
+            p.with_name(p.name.replace(".images.npy", ".labels.npy"))
+            for p in npy_imgs
+        ]
+        if prefetch:
+            from ..native.fastio import iter_npy_prefetched
+
+            paths = [p for pair in zip(npy_imgs, labels_files) for p in pair]
+            it = iter_npy_prefetched(paths)
+            for _ in npy_imgs:
+                yield ArrayDataset(next(it), next(it))
+        else:
+            for pi, pl in zip(npy_imgs, labels_files):
+                yield ArrayDataset(np.load(pi), np.load(pl))
+        return
+
     files = sorted(directory.glob("batch_*.npz")) + sorted(directory.glob("batch_*.pt"))
     for f in files:
         if f.suffix == ".pt":
