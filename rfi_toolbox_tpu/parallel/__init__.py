@@ -1,5 +1,6 @@
 """Mesh and sharding helpers for multi-chip execution."""
 
+from .distributed import global_mesh, initialize_distributed, process_info
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -16,4 +17,7 @@ __all__ = [
     "shard_batch",
     "shard_params_tensor_parallel",
     "shard_waterfalls",
+    "initialize_distributed",
+    "global_mesh",
+    "process_info",
 ]

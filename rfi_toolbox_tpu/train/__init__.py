@@ -1,6 +1,7 @@
 """Training: losses, train state, trainer, checkpointing."""
 
 from .losses import bce_dice_loss, bce_with_logits_loss, dice_loss
+from .raw_patches import RawPatchTrainer, augment_batch, make_raw_patch_step
 from .trainer import Trainer, TrainState, create_train_state, eval_step, train_step
 
 __all__ = [
@@ -12,4 +13,7 @@ __all__ = [
     "bce_dice_loss",
     "bce_with_logits_loss",
     "dice_loss",
+    "RawPatchTrainer",
+    "augment_batch",
+    "make_raw_patch_step",
 ]
