@@ -62,7 +62,8 @@ def main():
     def run_iteration(key, state):
         wf, mask, _ = batch_gen(jax.random.split(key, B))
         ds = Preprocessor(wf, flags=mask).create_dataset(
-            patch_size=PATCH, use_custom_flags=True, seed=0
+            patch_size=PATCH, use_custom_flags=True, seed=0,
+            pad_to_multiple=TRAIN_BATCH
         )
         images = jnp.asarray(ds.images)
         labels = jnp.asarray(ds.labels, dtype=jnp.float32)

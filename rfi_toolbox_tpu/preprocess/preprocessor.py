@@ -144,6 +144,7 @@ class Preprocessor:
         inference_mode=False,
         seed=None,
         use_pallas="auto",
+        pad_to_multiple=None,
     ):
         """Create an ArrayDataset of 3-channel patches + label masks.
 
@@ -154,6 +155,12 @@ class Preprocessor:
         ``use_pallas``: True/False/'auto' — use the fused Pallas TPU
         kernels for MAD flags and channel extraction ('auto' = on any
         non-CPU backend; parity with the jnp path is tested).
+        ``pad_to_multiple``: round the kept-patch count UP to a multiple
+        by repeating kept patches. Blank-patch removal makes the output
+        length data-dependent, which forces an XLA recompile per
+        distinct count in steady-state pipelines; bucketing keeps
+        shapes static across iterations (the duplicates are shuffled
+        training samples). None = exact count (default).
         """
         del num_workers  # API compatibility; parallelism is the batch.
         if use_pallas == "auto":
@@ -228,6 +235,11 @@ class Preprocessor:
 
         if num_patches and num_patches < len(keep):
             keep = keep[:num_patches]
+
+        if pad_to_multiple and not inference_mode and len(keep) % pad_to_multiple:
+            deficit = pad_to_multiple - len(keep) % pad_to_multiple
+            reps = -(-deficit // max(len(keep), 1))
+            keep = np.concatenate([keep, np.tile(keep, reps)[:deficit]])
 
         keep_dev = jnp.asarray(keep)
         patches = jnp.take(patches, keep_dev, axis=0)

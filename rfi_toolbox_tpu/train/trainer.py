@@ -19,6 +19,7 @@ as a library:
 """
 
 import time
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -75,10 +76,11 @@ def _loss_fn(params, batch_stats, apply_fn, images, labels, train):
     return loss, (mutated, logits)
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def train_step(state, images, labels):
     """One SPMD optimization step. Inputs may carry any sharding; XLA
-    partitions the step and all-reduces the grads."""
+    partitions the step and all-reduces the grads. The incoming state is
+    donated (its buffers are reused for the updated state)."""
     grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
     (loss, (mutated, _)), grads = grad_fn(
         state.params, state.batch_stats, state.apply_fn, images, labels, True
