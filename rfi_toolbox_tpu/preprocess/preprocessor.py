@@ -352,5 +352,17 @@ class DevicePreprocessor:
         return self.raw_patches, self.raw_masks
 
 
+    def estimate_storage_mb(self):
+        """Raw-patch storage footprint in MB (reference
+        preprocessor.py:974-980); complex64 patches are ~6x smaller
+        than the 4x-augmented 3-channel float32 pipeline."""
+        if self.raw_patches is None or len(self.raw_patches) == 0:
+            return 0.0
+        return float(np.asarray(self.raw_patches).nbytes) / (1024 * 1024)
+
+    # reference-private name kept for drop-in compatibility
+    _estimate_storage_mb = estimate_storage_mb
+
+
 # Alias for drop-in compatibility with reference call sites.
 GPUPreprocessor = DevicePreprocessor

@@ -76,3 +76,53 @@ def test_mad_flags_sigma_scalar_traced(rng):
     f5 = np.asarray(mad_flag_patches_pallas(patches, 5.0, interpret=True))
     f500 = np.asarray(mad_flag_patches_pallas(patches, 500.0, interpret=True))
     assert f5.sum() >= f500.sum()
+
+
+# ---- fused conv3x3 kernel ------------------------------------------------
+def _xla_conv(x, w, b):
+    import jax
+    import jax.numpy as jnp
+
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jnp.maximum(y + b, 0.0)
+
+
+def test_conv3x3_forward_parity(rng):
+    import jax.numpy as jnp
+    from rfi_toolbox_tpu.ops import conv3x3_bias_relu
+
+    x = rng.standard_normal((2, 16, 16, 8)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 8, 16)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(16).astype(np.float32)
+    got = np.asarray(conv3x3_bias_relu(jnp.asarray(x), jnp.asarray(w),
+                                       jnp.asarray(b), True))
+    want = np.asarray(_xla_conv(jnp.asarray(x), jnp.asarray(w),
+                                jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_conv3x3_gradients_parity(rng):
+    import jax
+    import jax.numpy as jnp
+    from rfi_toolbox_tpu.ops import conv3x3_bias_relu
+
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 4, 8)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+
+    def loss_pallas(x, w, b):
+        return jnp.sum(conv3x3_bias_relu(x, w, b, True) ** 2)
+
+    def loss_xla(x, w, b):
+        return jnp.sum(_xla_conv(x, w, b) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    for a, bb, name in zip(gp, gx, "xwb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-3, err_msg=f"grad {name}")
