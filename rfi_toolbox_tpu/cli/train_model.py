@@ -84,7 +84,37 @@ def main(argv=None):
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--config", type=str, default=None,
+                        help="YAML training config (ConfigLoader schema); "
+                        "CLI flags given explicitly still win")
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="Resume from the newest checkpoint in "
+                        "--checkpoint_dir if one exists")
     args = parser.parse_args(argv)
+
+    if args.config:
+        from rfi_toolbox_tpu.config import ConfigLoader
+
+        tc = ConfigLoader.load_training(args.config)
+        defaults = {
+            "batch_size": tc.batch_size,
+            "num_epochs": tc.num_epochs,
+            "lr": tc.learning_rate,
+            "weight_decay": tc.weight_decay,
+            "model_type": tc.model_type,
+            "init_features": tc.init_features,
+            "compute_dtype": tc.compute_dtype,
+            "seed": tc.seed,
+        }
+        # apply YAML values where the user didn't pass an explicit flag
+        import sys
+
+        raw_args = argv if argv is not None else sys.argv[1:]
+        given = {a.split("=")[0].lstrip("-").replace("-", "_")
+                 for a in raw_args if a.startswith("--")}
+        for k, v in defaults.items():
+            if k not in given:
+                setattr(args, k, v)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -126,12 +156,13 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
     )
+    resume = args.checkpoint_path or ("auto" if args.auto_resume else None)
     result = trainer.fit(
         train_ds,
         val_ds,
         num_epochs=args.num_epochs,
         batch_size=args.batch_size,
-        resume_from=args.checkpoint_path,
+        resume_from=resume,
     )
     for rec in result["history"]:
         logging.info(

@@ -1,5 +1,6 @@
 """Training: losses, train state, trainer, checkpointing."""
 
+from .instance_trainer import InstanceTrainer, make_instance_train_step
 from .losses import bce_dice_loss, bce_with_logits_loss, dice_loss
 from .raw_patches import RawPatchTrainer, augment_batch, make_raw_patch_step
 from .trainer import Trainer, TrainState, create_train_state, eval_step, train_step
@@ -16,4 +17,6 @@ __all__ = [
     "RawPatchTrainer",
     "augment_batch",
     "make_raw_patch_step",
+    "InstanceTrainer",
+    "make_instance_train_step",
 ]

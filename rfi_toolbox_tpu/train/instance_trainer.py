@@ -1,0 +1,178 @@
+"""Training loop for the SOLOLite instance segmentation model.
+
+BASELINE config 4: "Mask-RCNN-class segmentation fwd+bwd on mixed
+real+synthetic waterfall patches at batch 64". This trainer runs the
+dense SOLO formulation at that scale: per-step synthetic instance
+batches are generated ON DEVICE (no host data path at all), optionally
+mixed with real patches, and the fwd+bwd step is one jitted SPMD
+program with the state donated.
+"""
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.instance import SOLOLite, solo_loss
+from ..preprocess import pipeline as P
+from ..synth.sample import make_instance_sample_generator
+
+__all__ = ["InstanceTrainer", "make_instance_train_step"]
+
+
+def make_instance_train_step(model, tx, use_pallas="auto"):
+    """Jitted (params, opt_state, batch) -> (params, opt_state, loss,
+    parts) step for SOLOLite on complex patches + instance targets."""
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() != "cpu"
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, patches, inst_masks, inst_classes, inst_valid):
+        if use_pallas:
+            from ..ops import fused_extract_channels
+
+            images = fused_extract_channels(patches)
+        else:
+            images = P.imagenet_normalize(P.extract_channels(patches))
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, images, train=False)
+            return solo_loss(out, inst_masks, inst_classes, inst_valid)
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, parts
+
+    return step
+
+
+class InstanceTrainer:
+    """Train SOLOLite on device-generated synthetic instances.
+
+    >>> trainer = InstanceTrainer(patch_size=128, batch_size=64)
+    >>> result = trainer.fit(num_steps=100)
+    """
+
+    def __init__(
+        self,
+        model=None,
+        patch_size=128,
+        batch_size=64,
+        rfi_config=None,
+        learning_rate=1e-3,
+        weight_decay=1e-5,
+        seed=0,
+        use_pallas="auto",
+    ):
+        self.model = model if model is not None else SOLOLite(
+            num_classes=6, grid_size=max(patch_size // 16, 4)
+        )
+        self.patch_size = patch_size
+        self.batch_size = batch_size
+        self.seed = seed
+        if rfi_config is None:
+            rfi_config = {
+                "narrowband_persistent": {"count": [1, 3]},
+                "broadband_persistent": {"count": [0, 2]},
+                "narrowband_bursty": {"count": [0, 2]},
+                "frequency_sweep": {"count": [0, 1]},
+            }
+        sample_fn = make_instance_sample_generator(
+            patch_size, patch_size, rfi_config=rfi_config
+        )
+        self._batch_fn = jax.jit(
+            lambda keys: jax.vmap(sample_fn)(keys)
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(learning_rate, weight_decay=weight_decay),
+        )
+        self._step = make_instance_train_step(self.model, self.tx, use_pallas)
+        self.params = None
+        self.opt_state = None
+
+    def _init(self):
+        key = jax.random.key(self.seed)
+        x = jnp.zeros((1, self.patch_size, self.patch_size, 3), jnp.float32)
+        self.params = self.model.init(key, x, train=False)["params"]
+        self.opt_state = self.tx.init(self.params)
+
+    def generate_batch(self, key):
+        """One synthetic instance batch (device-resident)."""
+        batch = self._batch_fn(jax.random.split(key, self.batch_size))
+        return batch
+
+    def fit(self, num_steps=100, log_every=20, real_patches=None,
+            real_fraction=0.0):
+        """Train for ``num_steps``; optionally mix in real patches.
+
+        Args:
+            real_patches: optional (M, p, p) complex array of real
+                waterfall patches used UNLABELED-negative style: mixed
+                samples replace a fraction of each batch with real
+                patches carrying no instances (teaches the category
+                grid to stay silent on real noise structure).
+            real_fraction: fraction of each batch drawn from
+                real_patches.
+
+        Returns:
+            {'history': [{'step', 'loss', 'cate_loss', 'mask_loss',
+                          'steps_per_sec'}]}
+        """
+        if self.params is None:
+            self._init()
+        key = jax.random.key(self.seed + 1)
+        rng = np.random.default_rng(self.seed)
+        history = []
+        t0 = time.perf_counter()
+        for step_i in range(num_steps):
+            key, k1, k2 = jax.random.split(key, 3)
+            batch = self.generate_batch(k1)
+            patches = batch["waterfall"]
+            masks = batch["inst_masks"]
+            classes = batch["inst_classes"]
+            valid = batch["inst_valid"]
+            if real_patches is not None and real_fraction > 0:
+                n_real = int(self.batch_size * real_fraction)
+                if n_real:
+                    sel = rng.integers(0, len(real_patches), n_real)
+                    from ..utils.transfer import to_device
+
+                    patches = patches.at[:n_real].set(
+                        to_device(np.ascontiguousarray(real_patches[sel]))
+                    )
+                    valid = valid.at[:n_real].set(False)
+            self.params, self.opt_state, loss, parts = self._step(
+                self.params, self.opt_state, patches, masks, classes, valid
+            )
+            if (step_i + 1) % log_every == 0 or step_i == num_steps - 1:
+                jax.block_until_ready(loss)
+                dt = time.perf_counter() - t0
+                history.append({
+                    "step": step_i + 1,
+                    "loss": float(loss),
+                    "cate_loss": float(parts["cate_loss"]),
+                    "mask_loss": float(parts["mask_loss"]),
+                    "steps_per_sec": (step_i + 1) / dt,
+                })
+        return {"history": history}
+
+    def predict(self, images, score_thresh=0.3):
+        """Decode instances for (N, p, p, 3) float images. Returns a
+        list of per-image dicts (masks/scores/classes)."""
+        from ..models.instance import solo_decode
+
+        out = self.model.apply({"params": self.params}, jnp.asarray(images),
+                               train=False)
+        return [
+            jax.tree.map(
+                np.asarray,
+                solo_decode(jax.tree.map(lambda a: a[i], out),
+                            score_thresh=score_thresh),
+            )
+            for i in range(len(images))
+        ]

@@ -155,6 +155,16 @@ class Trainer:
         ckptr.save(path, tree, force=True)
         return path
 
+    def latest_checkpoint(self):
+        """Newest checkpoint directory under checkpoint_dir, or None —
+        enables crash-resumable training (fit(resume_from='auto'))."""
+        if self.checkpoint_dir is None or not self.checkpoint_dir.exists():
+            return None
+        candidates = [p for p in self.checkpoint_dir.iterdir() if p.is_dir()]
+        if not candidates:
+            return None
+        return max(candidates, key=lambda p: p.stat().st_mtime)
+
     def restore(self, path, input_shape):
         """Real resume: restore params/batch_stats/opt_state and return
         the stored epoch (the reference never implemented this)."""
@@ -205,6 +215,8 @@ class Trainer:
         input_shape = images.shape[1:]
 
         start_epoch = 0
+        if resume_from == "auto":
+            resume_from = self.latest_checkpoint()
         if resume_from is not None:
             start_epoch = self.restore(resume_from, input_shape)
         elif self.state is None:
@@ -213,6 +225,9 @@ class Trainer:
         rng = np.random.default_rng(self.seed)
         best_val = float("inf")
         best_path = None
+        # A resume that already reached num_epochs runs zero epochs;
+        # the final save must still work.
+        train_loss = float("nan")
 
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()

@@ -137,3 +137,35 @@ def test_visualize_static_png(tiny_dataset, tmp_path):
     out = save_static_grid(str(tiny_dataset / "train"),
                            str(tmp_path / "grid.png"), num_samples=2)
     assert (tmp_path / "grid.png").stat().st_size > 1000
+
+
+def test_train_cli_with_yaml_config(tiny_dataset, tmp_path):
+    import yaml
+
+    cfg = {
+        "model": {"model_type": "unet", "init_features": 4},
+        "training": {"num_epochs": 1, "batch_size": 2, "learning_rate": 1e-3,
+                     "compute_dtype": "float32", "seed": 1},
+    }
+    p = tmp_path / "train.yaml"
+    p.write_text(yaml.dump(cfg))
+    result = train_main([
+        "--train_dir", str(tiny_dataset / "train"),
+        "--val_dir", str(tiny_dataset / "val"),
+        "--checkpoint_dir", str(tmp_path / "ck"),
+        "--config", str(p),
+    ])
+    assert result["epochs_run"] == 1
+
+
+def test_train_cli_auto_resume(tiny_dataset, tmp_path):
+    args = [
+        "--train_dir", str(tiny_dataset / "train"),
+        "--val_dir", str(tiny_dataset / "val"),
+        "--batch_size", "2", "--init_features", "4",
+        "--compute_dtype", "float32",
+        "--checkpoint_dir", str(tmp_path / "cka"),
+    ]
+    train_main(args + ["--num_epochs", "1"])
+    r2 = train_main(args + ["--num_epochs", "2", "--auto_resume"])
+    assert r2["history"][0]["epoch"] == 2  # resumed past epoch 1

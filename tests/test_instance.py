@@ -139,3 +139,32 @@ def test_solo_decode_static_shapes():
     assert dec["masks"].shape == (64, 16, 16)
     assert dec["scores"].shape == (64,)
     assert dec["classes"].shape == (64,)
+
+
+def test_instance_trainer_end_to_end(rng):
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    trainer = InstanceTrainer(
+        model=_model(grid=8, features=8, embed=16),
+        patch_size=64, batch_size=4, learning_rate=1e-3, seed=0,
+    )
+    result = trainer.fit(num_steps=10, log_every=5)
+    hist = result["history"]
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"] * 1.5  # not diverging
+
+    # mixed real+synthetic: real patches as unlabeled negatives
+    real = (rng.normal(1.0, 0.1, (8, 64, 64))
+            * np.exp(1j * rng.uniform(0, 6.28, (8, 64, 64)))).astype(np.complex64)
+    r2 = trainer.fit(num_steps=4, log_every=4, real_patches=real,
+                     real_fraction=0.25)
+    assert np.isfinite(r2["history"][-1]["loss"])
+
+    # decode API
+    batch = trainer.generate_batch(jax.random.key(9))
+    from rfi_toolbox_tpu.preprocess import pipeline as P
+    images = P.imagenet_normalize(P.extract_channels(batch["waterfall"]))
+    dec = trainer.predict(np.asarray(images[:2]))
+    assert len(dec) == 2
+    assert dec[0]["masks"].ndim == 3
