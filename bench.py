@@ -33,10 +33,10 @@ def main():
     from rfi_toolbox_tpu.synth import make_sample_generator
     from rfi_toolbox_tpu.train import create_train_state, train_step
 
-    B = 2  # waterfalls per iteration
+    B = 4  # waterfalls per iteration
     C = T = 1024
     PATCH = 128
-    TRAIN_BATCH = 64
+    TRAIN_BATCH = 128
 
     sample_fn = make_sample_generator(
         C, T,
