@@ -101,5 +101,111 @@ def main():
     )
 
 
+
+def bench_generate_mad_ffi():
+    """BASELINE config 1: SyntheticDataGenerator 1024^2 + MAD sigma-5
+    flagging + compute_ffi, waterfalls/sec on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.io import flag_waterfalls
+    from rfi_toolbox_tpu.synth import make_sample_generator
+
+    B, C, T = 4, 1024, 1024
+    sample_fn = make_sample_generator(
+        C, T,
+        rfi_config={
+            "narrowband_persistent": {"count": 20},
+            "broadband_persistent": {"count": 5},
+            "narrowband_bursty": {"count": 20},
+            "broadband_bursty": {"count": 5},
+            "frequency_sweep": {"count": 1},
+        },
+        num_polarizations=1,
+    )
+    batch_gen = jax.jit(jax.vmap(sample_fn))
+
+    @jax.jit
+    def ffi_device(mag, flags):
+        keep = ~flags
+        n = jnp.sum(keep, axis=(1, 2)).astype(jnp.float32)
+        mean_b = mag.mean(axis=(1, 2))
+        std_b = mag.std(axis=(1, 2))
+        masked = jnp.where(keep, mag, 0.0)
+        mean_a = masked.sum(axis=(1, 2)) / n
+        var_a = jnp.sum(jnp.where(keep, (mag - mean_a[:, None, None]) ** 2, 0.0),
+                        axis=(1, 2)) / n
+        std_red = 1.0 - jnp.sqrt(var_a) / std_b
+        frac = flags.mean(axis=(1, 2))
+        return std_red * (1.0 - 0.5 * frac)
+
+    def iteration(key):
+        wf, mask, _ = batch_gen(jax.random.split(key, B))
+        mag = jnp.abs(wf[:, 0])
+        # per-128^2-patch MAD flags, reassembled (product behavior)
+        flags = flag_waterfalls(wf[:, 0], method="mad", sigma=5.0,
+                                patch_size=128)
+        return ffi_device(mag, flags)
+
+    jax.block_until_ready(iteration(jax.random.key(0)))
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = iteration(jax.random.key(i + 1))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "gen_mad_ffi_waterfalls_per_sec",
+        "value": round(B * iters / dt, 2),
+        "unit": "1024^2 waterfalls/s (generate + MAD sigma-5 + FFI)",
+    }))
+
+
+def bench_instance64():
+    """BASELINE config 4: SOLOLite fwd+bwd at batch 64 on 128^2 patches."""
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    trainer = InstanceTrainer(patch_size=128, batch_size=64, seed=0)
+    trainer.fit(num_steps=3, log_every=3)  # warmup/compile
+    res = trainer.fit(num_steps=15, log_every=15)
+    sps = res["history"][-1]["steps_per_sec"]
+    print(json.dumps({
+        "metric": "sololite_batch64_steps_per_sec",
+        "value": round(sps, 2),
+        "unit": "fwd+bwd steps/s (batch 64, on-device generation included)",
+    }))
+
+
+def bench_ms_roundtrip():
+    """BASELINE config 5: MSLoader -> fused preprocess -> MAD inference
+    -> save_flags, visibilities/sec through the full round trip (FakeMS
+    backend; casatools I/O replaces it transparently on real data)."""
+    import numpy as np
+
+    from rfi_toolbox_tpu.io import flag_measurement_set, make_fake_ms
+
+    ms = make_fake_ms(num_antennas=5, channels_per_spw=(256,), num_times=256,
+                      seed=1)
+    t0 = time.perf_counter()
+    result = flag_measurement_set(ms, method="mad", sigma=5.0, patch_size=128)
+    dt = time.perf_counter() - t0
+    n_vis = result["baselines"] * 4 * 256 * 256
+    print(json.dumps({
+        "metric": "ms_roundtrip_megavis_per_sec",
+        "value": round(n_vis / dt / 1e6, 2),
+        "unit": "Mvis/s (load -> preprocess -> MAD -> save_flags)",
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    configs = {
+        "gen_mad_ffi": "bench_generate_mad_ffi",
+        "instance64": "bench_instance64",
+        "ms_roundtrip": "bench_ms_roundtrip",
+    }
+    if len(sys.argv) > 1 and sys.argv[1] in configs:
+        globals()[configs[sys.argv[1]]]()
+    else:
+        main()

@@ -110,6 +110,16 @@ def mad_flag_patches_pallas(patches, sigma, interpret=False, block=8):
         mag = patches.astype(jnp.float32)
 
     n, h, w = mag.shape
+    # VMEM auto-sizing: ~20 B live per element per block (double-buffered
+    # f32 in, uint32 bits, f32 absdev, int8 out). Shrink the block for
+    # large patches; if even one patch exceeds the budget, use the jnp
+    # sort path (whole-waterfall MAD on 1024^2+ inputs).
+    budget_elems = (12 << 20) // 20
+    block = min(block, max(budget_elems // (h * w), 0))
+    if block == 0:
+        from ..preprocess.pipeline import mad_flag_patches
+
+        return mad_flag_patches(patches, sigma)
     block = min(block, n) or 1
     pad = (-n) % block
     if pad:
