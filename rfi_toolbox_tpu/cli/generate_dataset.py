@@ -63,7 +63,9 @@ def _generate_split(simulator, n, out_dir, generate_mask, clean, batch=4):
             key, sub = random.split(key)
             keys = random.split(sub, b)
             tf, masks = jax.vmap(simulator.generate_rfi_device)(keys)
-            tf, masks = np.asarray(tf), np.asarray(masks)
+            from rfi_toolbox_tpu.utils.transfer import to_host
+
+            tf, masks = to_host(tf), np.asarray(masks)
             for k in range(b):
                 tf_plane = {pol: tf[k, i] for i, pol in enumerate(_POLS)}
                 save_example_pair_npy(

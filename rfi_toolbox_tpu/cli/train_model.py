@@ -12,7 +12,6 @@ Rebuild of the reference (scripts/train_model.py:82-197):
 
 import argparse
 import logging
-import os
 
 import numpy as np
 

@@ -66,20 +66,6 @@ def conv3x3_bias_relu_or_xla(x, w, b):
     return jnp.maximum(y + b, 0.0)
 
 
-def _shift(x, dy, dx):
-    """s[h, w] = x[h+dy, w+dx] with zero fill (dy, dx in {-1, 0, 1})."""
-    h, w = x.shape[0], x.shape[1]
-    if dy == 1:
-        x = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
-    elif dy == -1:
-        x = jnp.concatenate([jnp.zeros_like(x[:1]), x[: h - 1]], axis=0)
-    if dx == 1:
-        x = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
-    elif dx == -1:
-        x = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, : w - 1]], axis=1)
-    return x
-
-
 def _conv_kernel(x_ref, w_ref, b_ref, y_ref, *, relu):
     # Stage x once into a zero-padded VMEM scratch; each tap is then a
     # slice read feeding straight into its matmul, keeping only one

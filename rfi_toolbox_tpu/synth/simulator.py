@@ -106,7 +106,9 @@ class RFISimulator:
         """RFI-free unit complex Gaussian planes (simulator.py:137-145)."""
         key = self._next_key() if key is None else key
         tf, mask = _clean_impl(key, self.time_bins, self.freq_bins)
-        self.tf_plane = {pol: np.asarray(tf[i]) for i, pol in enumerate(_POLS)}
+        from ..utils.transfer import to_host
+
+        self.tf_plane = {pol: to_host(tf[i]) for i, pol in enumerate(_POLS)}
         self.mask = np.asarray(mask)
         return self.tf_plane, self.mask
 
@@ -140,7 +142,9 @@ class RFISimulator:
             self.gibbs_ringing,
             jnp.asarray(self._gibbs_kernel),
         )
-        self.tf_plane = {pol: np.asarray(tf[i]) for i, pol in enumerate(_POLS)}
+        from ..utils.transfer import to_host
+
+        self.tf_plane = {pol: to_host(tf[i]) for i, pol in enumerate(_POLS)}
         self.mask = np.asarray(mask)
         return self.tf_plane, self.mask
 

@@ -130,7 +130,7 @@ class InstanceTrainer:
         history = []
         t0 = time.perf_counter()
         for step_i in range(num_steps):
-            key, k1, k2 = jax.random.split(key, 3)
+            key, k1 = jax.random.split(key)
             batch = self.generate_batch(k1)
             patches = batch["waterfall"]
             masks = batch["inst_masks"]
