@@ -146,6 +146,10 @@ def flag_measurement_set(
     total_pixels = 0
     n_done = 0
 
+    if not pairs:
+        loader.close()
+        return {"baselines": 0, "flagged_fraction": 0.0}
+
     prefetch = threading.Thread(target=load_one, args=(pairs[0],))
     prefetch.start()
     for idx, pair in enumerate(pairs):
