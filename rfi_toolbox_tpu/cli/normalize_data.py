@@ -75,10 +75,12 @@ def main(argv=None):
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument(
         "--normalization", type=str, default="standardize",
-        choices=["global_min_max", "standardize", "robust_scale", None],
+        choices=["global_min_max", "standardize", "robust_scale", "none",
+                 "None"],
     )
     args = parser.parse_args(argv)
-    process_directory(args.input_dir, args.output_dir, args.normalization)
+    method = None if args.normalization in ("none", "None") else args.normalization
+    process_directory(args.input_dir, args.output_dir, method)
     print("Normalization complete.")
 
 

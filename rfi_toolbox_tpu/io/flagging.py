@@ -14,6 +14,7 @@ Throughput design:
   unpatchify, with complex transfers staged as real/imag planes.
 """
 
+import logging
 import threading
 
 import jax
@@ -23,6 +24,8 @@ import numpy as np
 from ..preprocess import pipeline as P
 from ..utils.transfer import to_device
 from .ms_loader import MSLoader
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["flag_measurement_set", "flag_waterfalls"]
 
@@ -137,18 +140,19 @@ def flag_measurement_set(
         try:
             data = loader.load_baseline(pair[0], pair[1], mode=mode,
                                         field_id=field_id)
-        except Exception:
-            data = None
+        except Exception as e:  # surfaced per baseline in the result
+            data = e
         with lock:
             loaded[pair] = data
 
     total_flagged = 0.0
     total_pixels = 0
     n_done = 0
+    failed = []
 
     if not pairs:
         loader.close()
-        return {"baselines": 0, "flagged_fraction": 0.0}
+        return {"baselines": 0, "flagged_fraction": 0.0, "failed": []}
 
     prefetch = threading.Thread(target=load_one, args=(pairs[0],))
     prefetch.start()
@@ -158,6 +162,10 @@ def flag_measurement_set(
         if idx + 1 < len(pairs):
             prefetch = threading.Thread(target=load_one, args=(pairs[idx + 1],))
             prefetch.start()
+        if isinstance(data, Exception):
+            logger.warning("baseline %s load failed: %s", pair, data)
+            failed.append({"baseline": pair, "error": str(data)})
+            continue
         if data is None or data.shape[-1] == 0:
             continue
 
@@ -186,4 +194,5 @@ def flag_measurement_set(
     return {
         "baselines": n_done,
         "flagged_fraction": total_flagged / max(total_pixels, 1),
+        "failed": failed,
     }

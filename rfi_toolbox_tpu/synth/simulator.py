@@ -45,7 +45,7 @@ def _draw_event_phase(key, width, n_times, bl, drifting,
     """(s0, sdot, r0, phi0) scaled to event extent and baseline length
     (simulator.py:69-89). ``width``/``n_times`` may be traced; clamped
     to >= 1."""
-    k = random.split(key, 6)
+    k = random.split(key, 7)
     w = jnp.maximum(width, 1).astype(jnp.float32)
     nt = jnp.maximum(n_times, 1).astype(jnp.float32)
     sign1 = jnp.where(random.bernoulli(k[0]), 1.0, -1.0)
@@ -57,7 +57,7 @@ def _draw_event_phase(key, width, n_times, bl, drifting,
     s0 = (n_ff / w) * sign2
     phi0 = random.uniform(k[5], (), minval=0.0, maxval=2.0 * jnp.pi)
     s_end = (
-        random.uniform(k[3], (), minval=0.5, maxval=1.0 + bl * max_freq_fringes) / w
+        random.uniform(k[6], (), minval=0.5, maxval=1.0 + bl * max_freq_fringes) / w
     ) * sign3
     sdot = jnp.where(drifting, (s_end - s0) / nt, 0.0)
     return s0, sdot, r0, phi0

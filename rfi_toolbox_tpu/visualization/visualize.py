@@ -54,23 +54,23 @@ def create_interactive_viewer(dataset_dir, model_path=None, in_channels=8,
     predict = _predictor(model_path, in_channels, model_type, init_features,
                          (x0.shape[1], x0.shape[2], x0.shape[0]))
 
-    def plot(img, title, palette=Viridis256):
-        p = figure(width=250, height=250, title=title,
-                   x_range=(0, img.shape[1]), y_range=(0, img.shape[0]))
-        p.image(image=[img], x=0, y=0, dw=img.shape[1], dh=img.shape[0],
-                palette=palette)
-        return p
-
     source = ColumnDataSource(
         data={f"input_ch{i}": [x0[2 * i]] for i in range(4)}
         | {"mask": [m0[0]], "prediction": [np.zeros_like(m0[0])]}
     )
-    plots = [
-        plot(source.data[f"input_ch{i}"][0], f"Input pol{i} Re")
-        for i in range(4)
-    ]
-    plot_mask = plot(source.data["mask"][0], "Ground Truth Mask", Gray256)
-    plot_pred = plot(source.data["prediction"][0], "Model Prediction", Gray256)
+    h, w = m0[0].shape
+
+    def plot(key, title, palette=Viridis256):
+        # glyphs bind to the shared source so slider updates re-render
+        p = figure(width=250, height=250, title=title,
+                   x_range=(0, w), y_range=(0, h))
+        p.image(image=key, source=source, x=0, y=0, dw=w, dh=h,
+                palette=palette)
+        return p
+
+    plots = [plot(f"input_ch{i}", f"Input pol{i} Re") for i in range(4)]
+    plot_mask = plot("mask", "Ground Truth Mask", Gray256)
+    plot_pred = plot("prediction", "Model Prediction", Gray256)
 
     slider = Slider(start=0, end=len(samples) - 1, value=0, step=1,
                     title="Sample Index")

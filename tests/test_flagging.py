@@ -98,3 +98,22 @@ def test_flag_measurement_set_merge_existing(rng):
     flag_measurement_set(ms, method="mad", sigma=5.0, merge_existing=False)
     back = loader.load_baseline_flags(0, 1)
     assert not back[0, 0, 0]  # overwritten without merge
+
+
+def test_flag_measurement_set_reports_failures(rng, monkeypatch):
+    ms, _ = _rfi_ms(rng, nchan=32, ntime=32)
+    from rfi_toolbox_tpu.io import ms_loader as ml
+
+    orig = ml.MSLoader.load_baseline
+
+    def flaky(self, ant1, ant2, **kw):
+        if (ant1, ant2) == (0, 2):
+            raise IOError("disk on fire")
+        return orig(self, ant1, ant2, **kw)
+
+    monkeypatch.setattr(ml.MSLoader, "load_baseline", flaky)
+    result = flag_measurement_set(ms, method="mad", sigma=5.0, patch_size=32)
+    assert result["baselines"] == 2
+    assert result["failed"] == [
+        {"baseline": (0, 2), "error": "disk on fire"}
+    ]
