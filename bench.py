@@ -59,33 +59,42 @@ def main():
         model, jax.random.key(1), (1, PATCH, PATCH, 3), learning_rate=1e-4
     )
 
-    def run_iteration(key, state):
+    def preprocess(key):
         wf, mask, _ = batch_gen(jax.random.split(key, B))
         ds = Preprocessor(wf, flags=mask).create_dataset(
             patch_size=PATCH, use_custom_flags=True, seed=0,
-            pad_to_multiple=TRAIN_BATCH
+            pad_to_multiple=TRAIN_BATCH,
         )
-        images = jnp.asarray(ds.images)
-        labels = jnp.asarray(ds.labels, dtype=jnp.float32)
+        return jnp.asarray(ds.images), jnp.asarray(ds.labels, jnp.float32)
+
+    def train_all(state, images, labels):
         n = (len(images) // TRAIN_BATCH) * TRAIN_BATCH
         loss = None
         for s in range(0, n, TRAIN_BATCH):
             state, loss = train_step(
                 state, images[s : s + TRAIN_BATCH], labels[s : s + TRAIN_BATCH]
             )
-        if loss is not None:
-            jax.block_until_ready(loss)
-        return state, len(images)
+        return state, loss
 
     # Warmup: compile generation, preprocessing and train step.
-    state, _ = run_iteration(jax.random.key(0), state)
+    images, labels = preprocess(jax.random.key(0))
+    state, loss = train_all(state, images, labels)
+    jax.block_until_ready(loss)
 
-    iters = 3
+    # Pipelined steady state: thanks to async dispatch, preprocessing
+    # iteration i+1 (including its small host sync for blank removal)
+    # overlaps with the device still executing iteration i's train steps.
+    iters = 4
     total_patches = 0
+    nxt = preprocess(jax.random.key(1))
     t0 = time.perf_counter()
     for i in range(iters):
-        state, n = run_iteration(jax.random.key(i + 1), state)
-        total_patches += n
+        images, labels = nxt
+        if i + 1 < iters:
+            nxt = preprocess(jax.random.key(i + 2))
+        state, loss = train_all(state, images, labels)
+        total_patches += len(images)
+    jax.block_until_ready(loss)
     elapsed = time.perf_counter() - t0
 
     value = total_patches / elapsed
