@@ -155,3 +155,36 @@ def test_torch_pt_dataset_interop(tmp_path, rng):
     ds = ArrayDataset.load_from_disk(tmp_path / "batch_000.pt")
     np.testing.assert_array_equal(ds.images, images.numpy())
     assert ds.metadata["a"] == 1
+
+
+def test_nonsquare_rotation_patchify_matches_reference(rng):
+    """Non-square waterfalls with 4-way rotation exercise the
+    group-interleaving path (transposed variants have swapped dims);
+    patch order and labels must still match the reference exactly."""
+    from rfi_toolbox.preprocessing import Preprocessor as RefPreprocessor
+
+    from rfi_toolbox_tpu.preprocess import Preprocessor
+
+    c, t = 256, 384
+    base = rng.normal(1.0, 0.1, (1, 1, c, t))
+    mask = np.zeros((1, 1, c, t), bool)
+    base[:, :, 30:34, :] += 2e6
+    mask[:, :, 30:34, :] = True
+    vis = (base * np.exp(1j * rng.uniform(0, 2 * np.pi, base.shape))).astype(
+        np.complex64
+    )
+
+    np.random.seed(77)
+    ref_ds = RefPreprocessor(vis.copy(), flags=mask.copy()).create_dataset(
+        patch_size=128, use_custom_flags=True, num_workers=0,
+        augmentation_rotations=4,
+    )
+    np.random.seed(77)
+    ours = Preprocessor(vis, flags=mask).create_dataset(
+        patch_size=128, use_custom_flags=True, augmentation_rotations=4,
+        seed=None, use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ours.labels),
+                                  np.asarray(ref_ds.labels))
+    np.testing.assert_allclose(np.asarray(ours.images),
+                               np.asarray(ref_ds.images), atol=2e-4)
