@@ -49,6 +49,12 @@ _LAZY_MODULES = {
     "cli",
     "native",
     "visualization",
+    # reference-path compatibility aliases
+    "core",
+    "preprocessing",
+    "datasets",
+    "data_generation",
+    "scripts",
 }
 
 
