@@ -3,7 +3,15 @@
 from .instance_trainer import InstanceTrainer, make_instance_train_step
 from .losses import bce_dice_loss, bce_with_logits_loss, dice_loss
 from .raw_patches import RawPatchTrainer, augment_batch, make_raw_patch_step
-from .trainer import Trainer, TrainState, create_train_state, eval_step, train_step
+from .trainer import (
+    Trainer,
+    TrainState,
+    create_train_state,
+    eval_step,
+    export_params,
+    load_params,
+    train_step,
+)
 
 __all__ = [
     "Trainer",
@@ -19,4 +27,6 @@ __all__ = [
     "make_raw_patch_step",
     "InstanceTrainer",
     "make_instance_train_step",
+    "export_params",
+    "load_params",
 ]

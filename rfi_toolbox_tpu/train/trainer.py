@@ -297,3 +297,56 @@ class Trainer:
             logits = logits[..., 0] if logits.ndim == 4 else logits
             out.append(np.asarray(jax.nn.sigmoid(logits) > threshold))
         return np.concatenate(out)
+
+
+def export_params(state_or_params, path, batch_stats=None, metadata=None):
+    """Write a compact inference snapshot: flattened params (and batch
+    stats) as one .npz — ~3x smaller than a full Orbax checkpoint (no
+    optimizer state) and a single file, suitable for shipping
+    pretrained weights.
+    """
+    import json as _json
+
+    from flax.traverse_util import flatten_dict
+
+    if hasattr(state_or_params, "params"):
+        params = state_or_params.params
+        batch_stats = state_or_params.batch_stats
+    else:
+        params = state_or_params
+    arrays = {}
+    for key, val in flatten_dict(jax.device_get(params)).items():
+        arrays["params/" + "/".join(key)] = np.asarray(val)
+    for key, val in flatten_dict(jax.device_get(batch_stats or {})).items():
+        arrays["batch_stats/" + "/".join(key)] = np.asarray(val)
+    arrays["__metadata__"] = np.bytes_(_json.dumps(metadata or {}).encode())
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_params(path):
+    """Load an :func:`export_params` snapshot.
+
+    Returns (params, batch_stats, metadata) as nested dicts ready for
+    ``model.apply({"params": params, "batch_stats": batch_stats}, ...)``.
+    """
+    import json as _json
+
+    from flax.traverse_util import unflatten_dict
+
+    params_flat, stats_flat = {}, {}
+    metadata = {}
+    with np.load(path, allow_pickle=False) as z:
+        for key in z.files:
+            if key == "__metadata__":
+                metadata = _json.loads(bytes(z[key]).decode())
+            elif key.startswith("params/"):
+                params_flat[tuple(key[len("params/"):].split("/"))] = z[key]
+            elif key.startswith("batch_stats/"):
+                stats_flat[tuple(key[len("batch_stats/"):].split("/"))] = z[key]
+    return (
+        unflatten_dict(params_flat),
+        unflatten_dict(stats_flat),
+        metadata,
+    )
