@@ -25,7 +25,15 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
     ds = load_sample_dir_dataset(dataset_dir)
     model = create_model(model_type, init_features=init_features)
     trainer = Trainer(model)
-    trainer.restore(model_path, ds.images.shape[1:])
+    if str(model_path).endswith(".npz"):
+        from rfi_toolbox_tpu.train import load_params
+
+        params, batch_stats, _ = load_params(model_path)
+        trainer.state = trainer._init_state(ds.images.shape[1:])
+        trainer.state = trainer.state.replace(params=params,
+                                              batch_stats=batch_stats)
+    else:
+        trainer.restore(model_path, ds.images.shape[1:])
 
     all_metrics = []
     for start in range(0, len(ds), batch_size):

@@ -176,3 +176,36 @@ class InstanceTrainer:
             )
             for i in range(len(images))
         ]
+
+    def save(self, path):
+        """Export an inference snapshot (params + config metadata) via
+        :func:`rfi_toolbox_tpu.train.export_params`."""
+        from .trainer import export_params
+
+        return export_params(
+            self.params, path, batch_stats={},
+            metadata={
+                "model": "SOLOLite",
+                "num_classes": self.model.num_classes,
+                "grid_size": self.model.grid_size,
+                "embed_dim": self.model.embed_dim,
+                "features": self.model.features,
+                "patch_size": self.patch_size,
+            },
+        )
+
+    @classmethod
+    def load(cls, path, **kwargs):
+        """Rebuild an InstanceTrainer from a snapshot (fresh optimizer)."""
+        from ..models.instance import SOLOLite
+        from .trainer import load_params
+
+        params, _, meta = load_params(path)
+        model = SOLOLite(
+            num_classes=meta["num_classes"], grid_size=meta["grid_size"],
+            embed_dim=meta["embed_dim"], features=meta["features"],
+        )
+        trainer = cls(model=model, patch_size=meta["patch_size"], **kwargs)
+        trainer._init()
+        trainer.params = params
+        return trainer

@@ -31,7 +31,15 @@ def _predictor(model_path, in_channels, model_type, init_features, shape):
 
     model = create_model(model_type, init_features=init_features)
     trainer = Trainer(model)
-    trainer.restore(model_path, shape)
+    if str(model_path).endswith(".npz"):
+        from rfi_toolbox_tpu.train import load_params
+
+        params, batch_stats, _ = load_params(model_path)
+        trainer.state = trainer._init_state(shape)
+        trainer.state = trainer.state.replace(params=params,
+                                              batch_stats=batch_stats)
+    else:
+        trainer.restore(model_path, shape)
 
     def predict(x):  # x: (C, F, T)
         img = np.transpose(x, (1, 2, 0))[None]

@@ -168,3 +168,23 @@ def test_instance_trainer_end_to_end(rng):
     dec = trainer.predict(np.asarray(images[:2]))
     assert len(dec) == 2
     assert dec[0]["masks"].ndim == 3
+
+
+def test_instance_trainer_save_load(tmp_path, rng):
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    t1 = InstanceTrainer(model=_model(grid=8, features=8, embed=16),
+                         patch_size=64, batch_size=2, seed=0)
+    t1.fit(num_steps=2, log_every=2)
+    path = t1.save(tmp_path / "solo.npz")
+
+    t2 = InstanceTrainer.load(path, batch_size=2, seed=1)
+    assert t2.model.grid_size == 8
+    # identical params -> identical predictions
+    batch = t1.generate_batch(jax.random.key(3))
+    from rfi_toolbox_tpu.preprocess import pipeline as P
+    images = np.asarray(
+        P.imagenet_normalize(P.extract_channels(batch["waterfall"][:1])))
+    d1 = t1.predict(images)[0]
+    d2 = t2.predict(images)[0]
+    np.testing.assert_allclose(d1["scores"], d2["scores"], atol=1e-6)
