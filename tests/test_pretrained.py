@@ -57,3 +57,25 @@ def test_export_load_roundtrip(tmp_path, rng):
     out = model.apply({"params": params, "batch_stats": stats},
                       np.zeros((1, 32, 32, 3), np.float32), train=False)
     assert out.shape == (1, 32, 32, 1)
+
+
+@pytest.mark.skipif(
+    not (Path(__file__).parent.parent / "pretrained" /
+         "sololite_synthetic.npz").exists(),
+    reason="weights not present",
+)
+def test_pretrained_sololite_detects(rng):
+    import jax
+
+    from rfi_toolbox_tpu.preprocess import pipeline as P
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    trainer = InstanceTrainer.load(
+        Path(__file__).parent.parent / "pretrained" / "sololite_synthetic.npz",
+        batch_size=2, seed=0,
+    )
+    batch = trainer.generate_batch(jax.random.key(4))
+    images = P.imagenet_normalize(P.extract_channels(batch["waterfall"]))
+    dets = trainer.predict(np.asarray(images), score_thresh=0.25)
+    # the pretrained detector finds instances in synthetic patches
+    assert any((d["scores"] > 0.25).sum() > 0 for d in dets)
