@@ -100,6 +100,15 @@ def eval_step(state, images, labels):
     return loss, preds
 
 
+@partial(jax.jit, static_argnames=("apply_fn", "threshold"))
+def _predict_fwd(params, batch_stats, chunk, apply_fn, threshold):
+    logits = apply_fn(
+        {"params": params, "batch_stats": batch_stats}, chunk, train=False
+    )
+    logits = logits[..., 0] if logits.ndim == 4 else logits
+    return jax.nn.sigmoid(logits) > threshold
+
+
 def _iter_batches(images, labels, batch_size, rng=None, drop_remainder=True):
     n = len(images)
     idx = rng.permutation(n) if rng is not None else np.arange(n)
@@ -284,18 +293,25 @@ class Trainer:
 
     # -- inference --------------------------------------------------------
     def predict(self, images, batch_size=32, threshold=0.5):
-        """Binary masks for (N,H,W,C) images."""
+        """Binary masks for (N,H,W,C) images. The forward is a
+        module-level cached jit (a per-call closure would recompile on
+        every predict), and the last partial chunk pads up to
+        batch_size so only one shape ever compiles."""
+        fwd = _predict_fwd
         images = np.asarray(images, dtype=np.float32)
+        n = len(images)
         out = []
-        for start in range(0, len(images), batch_size):
+        for start in range(0, n, batch_size):
             chunk = images[start : start + batch_size]
-            logits = self.state.apply_fn(
-                {"params": self.state.params, "batch_stats": self.state.batch_stats},
-                jnp.asarray(chunk),
-                train=False,
-            )
-            logits = logits[..., 0] if logits.ndim == 4 else logits
-            out.append(np.asarray(jax.nn.sigmoid(logits) > threshold))
+            valid = len(chunk)
+            if valid < batch_size and n > batch_size:
+                pad = np.zeros((batch_size - valid, *chunk.shape[1:]),
+                               chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            preds = fwd(self.state.params, self.state.batch_stats,
+                        jnp.asarray(chunk), self.state.apply_fn,
+                        float(threshold))
+            out.append(np.asarray(preds)[:valid])
         return np.concatenate(out)
 
 
