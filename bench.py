@@ -33,7 +33,7 @@ def main():
     from rfi_toolbox_tpu.synth import make_sample_generator
     from rfi_toolbox_tpu.train import create_train_state, train_step
 
-    B = 4  # waterfalls per iteration
+    B = 8  # waterfalls per iteration
     C = T = 1024
     PATCH = 128
     TRAIN_BATCH = 128
