@@ -232,6 +232,11 @@ class Trainer:
             self.state = self._init_state(input_shape)
 
         rng = np.random.default_rng(self.seed)
+        if val_dataset is not None:
+            # convert once, not per epoch (the reference-scale val set is
+            # 1000 x 1024^2 — per-epoch np.asarray churn is pure waste)
+            val_images = np.asarray(val_dataset.images, dtype=np.float32)
+            val_labels = np.asarray(val_dataset.labels, dtype=np.float32)
         best_val = float("inf")
         best_path = None
         # A resume that already reached num_epochs runs zero epochs;
@@ -256,9 +261,7 @@ class Trainer:
             if val_dataset is not None:
                 val_losses = []
                 metrics_acc = []
-                vi = np.asarray(val_dataset.images, dtype=np.float32)
-                vl = np.asarray(val_dataset.labels, dtype=np.float32)
-                for bi, bl in _iter_batches(vi, vl, batch_size):
+                for bi, bl in _iter_batches(val_images, val_labels, batch_size):
                     bi, bl = shard_batch((bi, bl), self.mesh)
                     loss, preds = eval_step(self.state, bi, bl)
                     val_losses.append(loss)

@@ -68,6 +68,60 @@ def test_statistics_match_reference(rng):
         assert ours_ffi[k] == pytest.approx(ref_ffi_v[k], abs=1e-3), k
 
 
+def _assert_calcquality_matches(ours, ref):
+    for k in ("calcquality", "sensitivity", "mean_shift", "std_shift",
+              "overflagging_penalty", "flagged_pct"):
+        if np.isinf(ref[k]):
+            assert np.isinf(ours[k]), k
+        else:
+            assert ours[k] == pytest.approx(ref[k], abs=1e-3), k
+    for k, v in ref["components"].items():
+        assert ours["components"][k] == pytest.approx(v, rel=1e-3), k
+
+
+def test_calcquality_matches_reference(rng):
+    """Direct parity vs reference statistics.py:100-193: non-degenerate
+    (complex data, partial flags), explicit reference_data, and both
+    degenerate branches (all-flagged, zero-variance reference)."""
+    from rfi_toolbox.evaluation import compute_calcquality as ref_cq
+
+    from rfi_toolbox_tpu.evaluation import compute_calcquality
+
+    base = rng.normal(1.0, 0.1, (128, 128))
+    base[20:30] += 50.0
+    data = (base * np.exp(1j * rng.uniform(0, 2 * np.pi, base.shape))).astype(
+        np.complex64
+    )
+    flags = np.zeros((128, 128), bool)
+    flags[20:30] = True
+    _assert_calcquality_matches(
+        compute_calcquality(data, flags), ref_cq(data, flags)
+    )
+
+    # overflagging branch (>70% flagged) + explicit reference_data
+    heavy = rng.random((128, 128)) < 0.8
+    refdata = rng.normal(1.0, 0.1, (128, 128)).astype(np.float32)
+    _assert_calcquality_matches(
+        compute_calcquality(data, heavy, reference_data=refdata),
+        ref_cq(data, heavy, reference_data=refdata),
+    )
+
+    # degenerate: everything flagged -> inf score
+    all_flags = np.ones((128, 128), bool)
+    _assert_calcquality_matches(
+        compute_calcquality(np.abs(data), all_flags),
+        ref_cq(np.abs(data), all_flags),
+    )
+
+    # degenerate: zero-variance reference (rstd < 1e-10) -> inf score
+    const = np.full((64, 64), 3.0, np.float32)
+    some = np.zeros((64, 64), bool)
+    some[:4] = True
+    _assert_calcquality_matches(
+        compute_calcquality(const, some), ref_cq(const, some)
+    )
+
+
 def test_preprocessor_labels_bit_match_reference(rng):
     """BASELINE config 2: labels bit-matched to the reference on
     identical inputs (both stacks share numpy's global RNG for the
