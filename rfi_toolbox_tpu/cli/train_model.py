@@ -56,6 +56,12 @@ def main(argv=None):
     )
     parser.add_argument("--train_dir", type=str, default="rfi_dataset/train")
     parser.add_argument("--val_dir", type=str, default="rfi_dataset/val")
+    parser.add_argument(
+        "--train_batches_dir", type=str, default=None,
+        help="Stream training data from a BatchWriter directory "
+        "(e.g. <generate output>/exact_masks) with bounded host RAM "
+        "instead of loading --train_dir sample dirs into memory")
+    parser.add_argument("--val_batches_dir", type=str, default=None)
     parser.add_argument("--normalized_data_dir", type=str, default=None)
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--num_epochs", type=int, default=50)
@@ -83,6 +89,11 @@ def main(argv=None):
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--mesh_shape", type=str, default=None,
+        help="'data,model' device mesh, e.g. '4,2' = 4-way data x 2-way "
+        "tensor parallel (TrainingConfig.mesh_shape); default all "
+        "devices on the data axis")
     parser.add_argument("--config", type=str, default=None,
                         help="YAML training config (ConfigLoader schema); "
                         "CLI flags given explicitly still win")
@@ -104,6 +115,8 @@ def main(argv=None):
             "init_features": tc.init_features,
             "compute_dtype": tc.compute_dtype,
             "seed": tc.seed,
+            "mesh_shape": (",".join(map(str, tc.mesh_shape))
+                           if tc.mesh_shape else None),
         }
         # apply YAML values where the user didn't pass an explicit flag
         import sys
@@ -126,16 +139,30 @@ def main(argv=None):
     from rfi_toolbox_tpu.models import create_model
     from rfi_toolbox_tpu.train import Trainer
 
-    train_ds = load_sample_dir_dataset(
-        args.train_dir, args.normalized_data_dir, args.normalization
-    )
-    val_ds = load_sample_dir_dataset(
-        args.val_dir, args.normalized_data_dir, args.normalization
-    )
-    logging.info("train=%d samples, val=%d samples, image=%s",
-                 len(train_ds), len(val_ds), train_ds.images.shape[1:])
+    if args.train_batches_dir:
+        from rfi_toolbox_tpu.data import StreamingDataset
 
-    if args.augment:
+        train_ds = StreamingDataset(args.train_batches_dir)
+        val_ds = (StreamingDataset(args.val_batches_dir)
+                  if args.val_batches_dir else None)
+        logging.info(
+            "streaming train=%d samples from %s (%d batch files)%s",
+            len(train_ds), args.train_batches_dir, len(train_ds.files),
+            f", val={len(val_ds)}" if val_ds else "",
+        )
+        if args.augment:
+            logging.warning("--augment is ignored with --train_batches_dir")
+    else:
+        train_ds = load_sample_dir_dataset(
+            args.train_dir, args.normalized_data_dir, args.normalization
+        )
+        val_ds = load_sample_dir_dataset(
+            args.val_dir, args.normalized_data_dir, args.normalization
+        )
+        logging.info("train=%d samples, val=%d samples, image=%s",
+                     len(train_ds), len(val_ds), train_ds.images.shape[1:])
+
+    if args.augment and not args.train_batches_dir:
         rng = np.random.default_rng(args.seed)
         ai, al = _augment(train_ds.images, train_ds.labels, rng)
         train_ds = ArrayDataset(
@@ -148,11 +175,16 @@ def main(argv=None):
         args.model_type, init_features=args.init_features, dtype=dtype
     )
     lr = args.new_lr if (args.checkpoint_path and args.new_lr) else args.lr
+    mesh_shape = (tuple(int(x) for x in str(args.mesh_shape).split(","))
+                  if args.mesh_shape else None)
+    if mesh_shape:
+        logging.info("mesh: data=%d x model=%d", *mesh_shape)
     trainer = Trainer(
         model,
         learning_rate=lr,
         weight_decay=args.weight_decay,
         checkpoint_dir=args.checkpoint_dir,
+        mesh_shape=mesh_shape,
         seed=args.seed,
     )
     resume = args.checkpoint_path or ("auto" if args.auto_resume else None)

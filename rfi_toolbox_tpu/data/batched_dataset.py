@@ -19,11 +19,19 @@ compatibility with reference call sites.
 """
 
 import json
+import queue
+import threading
 from pathlib import Path
 
 import numpy as np
 
-__all__ = ["ArrayDataset", "TorchDataset", "BatchWriter", "load_batches"]
+__all__ = [
+    "ArrayDataset",
+    "TorchDataset",
+    "BatchWriter",
+    "StreamingDataset",
+    "load_batches",
+]
 
 
 class ArrayDataset:
@@ -189,6 +197,163 @@ class BatchWriter:
         with open(self.output_dir / "metadata.json", "w") as f:
             json.dump(metadata, f, indent=2)
         return metadata
+
+
+def _scan_batch_files(directory):
+    """Batch files in a BatchWriter directory as a list of load units:
+    single .npz/.pt paths, or (images.npy, labels.npy) pairs."""
+    directory = Path(directory)
+    npy_imgs = sorted(directory.glob("batch_*.images.npy"))
+    if npy_imgs:
+        return [
+            (p, p.with_name(p.name.replace(".images.npy", ".labels.npy")))
+            for p in npy_imgs
+        ]
+    return sorted(directory.glob("batch_*.npz")) + sorted(
+        directory.glob("batch_*.pt")
+    )
+
+
+def _load_batch_file(unit):
+    """Load one batch-file unit into an ArrayDataset."""
+    if isinstance(unit, tuple):
+        return ArrayDataset(np.load(unit[0]), np.load(unit[1]))
+    if unit.suffix == ".pt":
+        import torch
+
+        data = torch.load(unit, map_location="cpu", weights_only=False)
+        return ArrayDataset(data["images"].numpy(), data["labels"].numpy())
+    with np.load(unit) as data:
+        return ArrayDataset(data["images"], data["labels"])
+
+
+class StreamingDataset:
+    """Bounded-RAM dataset over a BatchWriter directory.
+
+    The reference streams training data with a torch DataLoader over
+    .pt batch files (scripts/train_model.py:106-107); its flagship
+    config (4000 x 1024^2 samples, configs/data_generation/
+    synthetic_train_4k.yaml:5-7) never fits in host RAM at once. This
+    streams batch files through a one-deep background prefetch thread
+    (disk I/O overlaps device compute) while holding at most
+    ~3 batch files resident: one being consumed, one queued, one in the
+    producer's hand — regardless of dataset size.
+
+    ``Trainer.fit`` accepts one of these (or a directory path) directly.
+    """
+
+    def __init__(self, directory, seed=0):
+        self.directory = Path(directory)
+        self.files = _scan_batch_files(self.directory)
+        if not self.files:
+            raise FileNotFoundError(
+                f"no batch_* files under {self.directory}"
+            )
+        self.seed = seed
+        meta_path = self.directory / "metadata.json"
+        self.metadata = (
+            json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        )
+        if "num_samples" in self.metadata:
+            self._num_samples = int(self.metadata["num_samples"])
+            self.image_shape = tuple(self.metadata["image_shape"])
+        else:
+            first = _load_batch_file(self.files[0])
+            per = len(first)
+            self.image_shape = tuple(first.images.shape[1:])
+            last = (
+                _load_batch_file(self.files[-1])
+                if len(self.files) > 1
+                else first
+            )
+            self._num_samples = per * (len(self.files) - 1) + len(last)
+        # peak number of simultaneously-resident batch files, for
+        # bounded-memory assertions in tests
+        self.max_resident_files = 0
+        self._resident = 0
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return self._num_samples
+
+    def _track(self, delta):
+        with self._lock:
+            self._resident += delta
+            self.max_resident_files = max(
+                self.max_resident_files, self._resident
+            )
+
+    def _iter_files(self, order):
+        """Yield ArrayDatasets in ``order`` through a 1-deep prefetch
+        queue; caller must consume fully (generator close stops the
+        producer via the queue going out of scope)."""
+        q = queue.Queue(maxsize=1)
+        stop = threading.Event()
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for i in order:
+                    if stop.is_set():
+                        return
+                    ds = _load_batch_file(self.files[i])
+                    self._track(+1)
+                    q.put(ds)
+                q.put(SENTINEL)
+            except BaseException as e:  # surface loader errors in consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+                del item
+                self._track(-1)
+        finally:
+            stop.set()
+            # drain so a blocked producer can exit
+            while not q.empty():
+                leftover = q.get_nowait()
+                if leftover is not SENTINEL and not isinstance(
+                    leftover, BaseException
+                ):
+                    self._track(-1)
+
+    def iter_epoch(self, batch_size, rng=None, drop_remainder=True):
+        """Yield (images, labels) minibatches of exactly ``batch_size``
+        (static shapes for jit). With ``rng``, both the file order and
+        the samples within each file are shuffled; remainders are
+        carried across file boundaries so no sample is dropped except
+        (with drop_remainder) the final partial batch of the epoch.
+        """
+        order = (
+            rng.permutation(len(self.files))
+            if rng is not None
+            else np.arange(len(self.files))
+        )
+        rem_i = rem_l = None
+        for ds in self._iter_files(order):
+            imgs, lbls = ds.images, ds.labels
+            if rng is not None:
+                p = rng.permutation(len(imgs))
+                imgs, lbls = imgs[p], lbls[p]
+            if rem_i is not None:
+                imgs = np.concatenate([rem_i, imgs])
+                lbls = np.concatenate([rem_l, lbls])
+            n = (len(imgs) // batch_size) * batch_size
+            for s in range(0, n, batch_size):
+                yield imgs[s : s + batch_size], lbls[s : s + batch_size]
+            rem_i, rem_l = (
+                (imgs[n:].copy(), lbls[n:].copy()) if n < len(imgs) else (None, None)
+            )
+        if rem_i is not None and len(rem_i) and not drop_remainder:
+            yield rem_i, rem_l
 
 
 def load_batches(directory, prefetch=True):

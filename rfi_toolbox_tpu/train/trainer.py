@@ -118,6 +118,19 @@ def _iter_batches(images, labels, batch_size, rng=None, drop_remainder=True):
         yield images[sel], labels[sel]
 
 
+def _as_stream(dataset):
+    """Normalize a dataset argument: a directory path or StreamingDataset
+    returns a StreamingDataset (bounded-RAM file streaming); an
+    ArrayDataset-like returns None (in-memory path)."""
+    from ..data.batched_dataset import StreamingDataset
+
+    if isinstance(dataset, StreamingDataset):
+        return dataset
+    if isinstance(dataset, (str, Path)):
+        return StreamingDataset(dataset)
+    return None
+
+
 class Trainer:
     """Segmentation model trainer with sharded data parallelism.
 
@@ -132,16 +145,40 @@ class Trainer:
         weight_decay=1e-5,
         checkpoint_dir=None,
         mesh=None,
+        mesh_shape=None,
+        tp_min_features=256,
         seed=0,
     ):
+        """Args:
+            mesh: explicit jax.sharding.Mesh; axes named 'data' (+
+                optionally 'model' for tensor parallelism).
+            mesh_shape: (data, model) tuple — the TrainingConfig
+                ``mesh_shape`` knob. Builds a ('data','model') mesh over
+                jax.devices(); a model axis >1 turns on tensor-parallel
+                sharding of wide conv kernels (parallel/mesh.py:85-108).
+                Mutually exclusive with ``mesh``.
+            tp_min_features: smallest conv output-feature dim that gets
+                sharded over 'model' (smaller kernels stay replicated —
+                all-reduce cost would beat the FLOP win).
+        """
         self.model = model
         self.learning_rate = learning_rate
         self.weight_decay = weight_decay
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        if mesh is not None and mesh_shape is not None:
+            raise ValueError("pass either mesh or mesh_shape, not both")
+        if mesh_shape is not None:
+            mesh = make_mesh(shape=tuple(mesh_shape),
+                             axis_names=("data", "model"))
         self.mesh = mesh if mesh is not None else make_mesh(axis_names=("data",))
+        self.tp_min_features = tp_min_features
         self.seed = seed
         self.state = None
         self.history = []
+
+    @property
+    def _tp_axis_size(self):
+        return self.mesh.shape.get("model", 1)
 
     # -- checkpointing ----------------------------------------------------
     def _checkpointer(self):
@@ -184,10 +221,20 @@ class Trainer:
         # from the freshly-initialized state's structure.
         _, treedef = jax.tree.flatten(self.state.opt_state)
         opt_state = jax.tree.unflatten(treedef, jax.tree.leaves(tree["opt_state"]))
+
+        def _like(template, restored):
+            # place restored host arrays with the template's sharding so
+            # tp/replication layouts survive a resume
+            return jax.tree.map(
+                lambda t, a: jax.device_put(a, t.sharding)
+                if hasattr(t, "sharding") else a,
+                template, restored,
+            )
+
         self.state = self.state.replace(
-            params=tree["params"],
-            batch_stats=tree["batch_stats"],
-            opt_state=opt_state,
+            params=_like(self.state.params, tree["params"]),
+            batch_stats=_like(self.state.batch_stats, tree["batch_stats"]),
+            opt_state=_like(self.state.opt_state, opt_state),
         )
         return int(tree.get("epoch", 0))
 
@@ -201,8 +248,28 @@ class Trainer:
             self.weight_decay,
         )
         # Replicate state over the mesh; batches arrive data-sharded.
+        # With a model axis >1, wide conv kernels (and their optimizer
+        # moments) are instead sharded over 'model' — XLA partitions the
+        # matching convs and all-reduces the partial sums over ICI.
         rep = replicated(self.mesh)
-        return jax.tree.map(lambda a: jax.device_put(a, rep), state)
+        state = jax.tree.map(lambda a: jax.device_put(a, rep), state)
+        if self._tp_axis_size > 1:
+            from ..parallel.mesh import shard_params_tensor_parallel
+
+            tp = partial(
+                shard_params_tensor_parallel,
+                mesh=self.mesh,
+                min_features=self.tp_min_features,
+                axis="model",
+            )
+            # adam mu/nu mirror the param tree; shard them the same way
+            # so optimizer memory also scales down with tp (the rule
+            # replicates anything below min_features, incl. scalars)
+            state = state.replace(
+                params=tp(state.params),
+                opt_state=tp(state.opt_state),
+            )
+        return state
 
     # -- main loop --------------------------------------------------------
     def fit(
@@ -216,12 +283,21 @@ class Trainer:
     ):
         """Train; returns {'best_val_loss', 'history', 'epochs_run'}.
 
-        Datasets are ArrayDataset-likes with .images (N,H,W,C) float32
-        and .labels (N,H,W) uint8.
+        Datasets are either ArrayDataset-likes with .images (N,H,W,C)
+        float32 and .labels (N,H,W) uint8 (fully in memory), or a
+        BatchWriter output directory / :class:`StreamingDataset` —
+        streamed file-by-file with a prefetch thread and bounded host
+        RAM, which is how the reference's 4000 x 1024^2 flagship config
+        (synthetic_train_4k.yaml) trains on a normal host.
         """
-        images = np.asarray(train_dataset.images, dtype=np.float32)
-        labels = np.asarray(train_dataset.labels, dtype=np.float32)
-        input_shape = images.shape[1:]
+        train_stream = _as_stream(train_dataset)
+        if train_stream is not None:
+            input_shape = tuple(train_stream.image_shape)
+        else:
+            images = np.asarray(train_dataset.images, dtype=np.float32)
+            labels = np.asarray(train_dataset.labels, dtype=np.float32)
+            input_shape = images.shape[1:]
+        val_stream = _as_stream(val_dataset) if val_dataset is not None else None
 
         start_epoch = 0
         if resume_from == "auto":
@@ -232,7 +308,7 @@ class Trainer:
             self.state = self._init_state(input_shape)
 
         rng = np.random.default_rng(self.seed)
-        if val_dataset is not None:
+        if val_dataset is not None and val_stream is None:
             # convert once, not per epoch (the reference-scale val set is
             # 1000 x 1024^2 — per-epoch np.asarray churn is pure waste)
             val_images = np.asarray(val_dataset.images, dtype=np.float32)
@@ -246,8 +322,16 @@ class Trainer:
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
             train_losses = []
-            for bi, bl in _iter_batches(images, labels, batch_size, rng):
-                bi, bl = shard_batch((bi, bl), self.mesh)
+            batches = (
+                train_stream.iter_epoch(batch_size, rng)
+                if train_stream is not None
+                else _iter_batches(images, labels, batch_size, rng)
+            )
+            for bi, bl in batches:
+                bi, bl = shard_batch(
+                    (np.asarray(bi, np.float32), np.asarray(bl, np.float32)),
+                    self.mesh,
+                )
                 self.state, loss = train_step(self.state, bi, bl)
                 train_losses.append(loss)
             train_loss = float(jnp.mean(jnp.stack(train_losses)))
@@ -261,8 +345,17 @@ class Trainer:
             if val_dataset is not None:
                 val_losses = []
                 metrics_acc = []
-                for bi, bl in _iter_batches(val_images, val_labels, batch_size):
-                    bi, bl = shard_batch((bi, bl), self.mesh)
+                val_batches = (
+                    val_stream.iter_epoch(batch_size)
+                    if val_stream is not None
+                    else _iter_batches(val_images, val_labels, batch_size)
+                )
+                for bi, bl in val_batches:
+                    bi, bl = shard_batch(
+                        (np.asarray(bi, np.float32),
+                         np.asarray(bl, np.float32)),
+                        self.mesh,
+                    )
                     loss, preds = eval_step(self.state, bi, bl)
                     val_losses.append(loss)
                     m = evaluate_segmentation_batch(preds, bl > 0.5)

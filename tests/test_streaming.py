@@ -1,0 +1,155 @@
+"""Streaming (bounded-RAM) training from on-disk BatchWriter datasets.
+
+The reference's flagship config trains 4000 x 1024^2 samples via a
+torch DataLoader over .pt batch files (scripts/train_model.py:106-107);
+this is the TPU-native equivalent: StreamingDataset + Trainer.fit from
+a directory, with a prefetch thread and at most ~3 batch files resident.
+"""
+
+import numpy as np
+import pytest
+
+from rfi_toolbox_tpu.data import ArrayDataset, BatchWriter, StreamingDataset
+
+
+def _write_batches(tmp_path, n=26, per_file=4, hw=16, fmt="npz"):
+    images = np.zeros((n, hw, hw, 3), np.float32)
+    images[:, 0, 0, 0] = np.arange(n)  # sample id in the corner pixel
+    labels = (np.arange(n)[:, None, None] % 2 * np.ones((n, hw, hw))).astype(
+        np.uint8
+    )
+    writer = BatchWriter(tmp_path, samples_per_batch=per_file, format=fmt)
+    writer.add_batch(ArrayDataset(images, labels))
+    writer.finalize()
+    return images, labels
+
+
+@pytest.mark.parametrize("fmt", ["npz", "npy"])
+def test_streaming_dataset_covers_all_samples(tmp_path, fmt):
+    _write_batches(tmp_path / "ds", fmt=fmt)
+    sd = StreamingDataset(tmp_path / "ds")
+    assert len(sd) == 26
+    assert sd.image_shape == (16, 16, 3)
+    assert len(sd.files) == 7  # 6 full files + remainder of 2
+
+    rng = np.random.default_rng(0)
+    seen = []
+    for bi, bl in sd.iter_epoch(batch_size=4, rng=rng):
+        assert bi.shape == (4, 16, 16, 3)  # static shapes, always
+        assert bl.shape == (4, 16, 16)
+        ids = bi[:, 0, 0, 0].astype(int)
+        # labels stay paired with their images across shuffles/carries
+        np.testing.assert_array_equal(bl[:, 0, 0], ids % 2)
+        seen.extend(ids.tolist())
+    # 26 samples -> 6 batches of 4; the final remainder of 2 is dropped
+    assert len(seen) == 24 and len(set(seen)) == 24
+
+    # memory is bounded: never more than 3 of the 7 files resident
+    assert 1 <= sd.max_resident_files <= 3
+
+    # drop_remainder=False surfaces the final partial batch
+    total = sum(
+        len(bi) for bi, _ in sd.iter_epoch(4, drop_remainder=False)
+    )
+    assert total == 26
+
+
+def test_streaming_epochs_shuffle_differently(tmp_path):
+    _write_batches(tmp_path / "ds")
+    sd = StreamingDataset(tmp_path / "ds")
+    rng = np.random.default_rng(7)
+    e1 = [b[:, 0, 0, 0].astype(int).tolist() for b, _ in sd.iter_epoch(4, rng)]
+    e2 = [b[:, 0, 0, 0].astype(int).tolist() for b, _ in sd.iter_epoch(4, rng)]
+    assert e1 != e2
+    # without rng, order is deterministic file order
+    d1 = [b[:, 0, 0, 0].astype(int).tolist() for b, _ in sd.iter_epoch(4)]
+    d2 = [b[:, 0, 0, 0].astype(int).tolist() for b, _ in sd.iter_epoch(4)]
+    assert d1 == d2
+
+
+def test_trainer_fit_streaming_from_directory(tmp_path):
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import Trainer
+
+    rng = np.random.default_rng(1)
+    n, hw = 24, 16
+    images = rng.normal(size=(n, hw, hw, 3)).astype(np.float32)
+    labels = np.zeros((n, hw, hw), np.uint8)
+    labels[:, 4:10, 4:10] = 1
+    images[..., 0] += 3.0 * labels  # learnable signal
+
+    for split, sl in (("train", slice(0, 16)), ("val", slice(16, 24))):
+        w = BatchWriter(tmp_path / split, samples_per_batch=5)
+        w.add_batch(ArrayDataset(images[sl], labels[sl]))
+        w.finalize()
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    trainer = Trainer(model, learning_rate=1e-3)
+    train_sd = StreamingDataset(tmp_path / "train")
+    result = trainer.fit(
+        train_sd, str(tmp_path / "val"), num_epochs=3, batch_size=4
+    )
+    assert result["epochs_run"] == 3
+    losses = [r["train_loss"] for r in result["history"]]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # it actually learns while streaming
+    assert "val_loss" in result["history"][-1]
+    assert train_sd.max_resident_files <= 3
+
+
+def test_trainer_fit_streaming_from_generator_output(tmp_path):
+    """End-to-end: SyntheticDataGenerator.generate writes batch files;
+    Trainer.fit streams them straight from disk (VERDICT round-1 #2)."""
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.synth import SyntheticDataGenerator
+    from rfi_toolbox_tpu.train import Trainer
+
+    class _NS(dict):
+        __getattr__ = dict.__getitem__
+
+    cfg = _NS(
+        synthetic=_NS(
+            num_samples=4, num_channels=64, num_times=64, noise_mjy=1.0,
+            rfi_power_min=1000.0, rfi_power_max=10000.0,
+            rfi_type_counts=_NS(narrowband_persistent=2, frequency_sweep=1),
+            generation_batch_size=2, num_polarizations=1,
+            polarization_correlation=0.8,
+        ),
+        processing=_NS(
+            save_raw=False, patch_size=64, enable_augmentation=False,
+            augmentation_rotations=1, stretch=None,
+            normalize_before_stretch=False, normalize_after_stretch=False,
+        ),
+    )
+    out = SyntheticDataGenerator(cfg, seed=0).generate(tmp_path / "ds")
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    trainer = Trainer(model, learning_rate=1e-3)
+    result = trainer.fit(
+        f"{out}/exact_masks", num_epochs=1, batch_size=2
+    )
+    assert result["epochs_run"] == 1
+    assert np.isfinite(result["history"][0]["train_loss"])
+
+
+def test_train_cli_streaming_flag(tmp_path):
+    from rfi_toolbox_tpu.cli.train_model import main as train_main
+
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(10, 16, 16, 8)).astype(np.float32)
+    labels = (rng.random((10, 16, 16)) > 0.7).astype(np.uint8)
+    w = BatchWriter(tmp_path / "batches", samples_per_batch=4)
+    w.add_batch(ArrayDataset(images, labels))
+    w.finalize()
+
+    result = train_main([
+        "--train_batches_dir", str(tmp_path / "batches"),
+        "--batch_size", "2", "--num_epochs", "1",
+        "--checkpoint_dir", str(tmp_path / "ck"),
+        "--init_features", "4", "--compute_dtype", "float32",
+    ])
+    assert result["epochs_run"] == 1
