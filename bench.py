@@ -195,6 +195,9 @@ def bench_ms_roundtrip():
 
     ms = make_fake_ms(num_antennas=5, channels_per_spw=(256,), num_times=256,
                       seed=1)
+    # warmup on a copy: compile the device kernels once (25-60 s on the
+    # remote TPU) so the timed pass measures the round trip itself
+    flag_measurement_set(ms.copy(), method="mad", sigma=5.0, patch_size=128)
     t0 = time.perf_counter()
     result = flag_measurement_set(ms, method="mad", sigma=5.0, patch_size=128)
     dt = time.perf_counter() - t0

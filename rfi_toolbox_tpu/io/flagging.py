@@ -109,12 +109,20 @@ def flag_measurement_set(
     field_id=None,
     merge_existing=False,
     use_pallas="auto",
+    streaming=False,
 ):
     """Flag an entire measurement set and write the FLAG column back.
 
-    The full config-5 round trip: per-baseline visibilities stream
-    through the device pipeline with host I/O prefetching overlapped
-    with compute; flags are written back per baseline.
+    The full config-5 round trip. Two modes:
+
+    - bulk (default): ONE bulk load per SPW (MSLoader.load), ALL
+      baselines x pols flagged in a single batched device call, ONE
+      bulk FLAG write-back — the TPU-first shape: big batched kernels,
+      minimal host<->table chatter.
+    - ``streaming=True``: per-baseline load/flag/save with a prefetch
+      thread (host I/O for baseline i+1 overlaps device compute for i)
+      and per-baseline failure capture — for observations too large to
+      hold in host RAM at once.
 
     Args:
         ms: MS path or FakeMS.
@@ -123,9 +131,34 @@ def flag_measurement_set(
         merge_existing: OR new flags into the existing FLAG column.
 
     Returns:
-        dict: {'baselines': int, 'flagged_fraction': float}
+        dict: {'baselines': int, 'flagged_fraction': float, 'failed': []}
     """
     loader = MSLoader(ms, field_id=field_id)
+    if not streaming:
+        data = loader.load(num_antennas=num_antennas, mode=mode)
+        if len(data) == 0:
+            loader.close()
+            return {"baselines": 0, "flagged_fraction": 0.0, "failed": []}
+        b, p, c, t = data.shape
+        flags = flag_waterfalls(
+            data.reshape(b * p, c, t).astype(np.complex64),
+            method=method,
+            sigma=sigma,
+            patch_size=patch_size,
+            predictor=predictor,
+            threshold=threshold,
+            use_pallas=use_pallas,
+        )
+        flags_host = np.asarray(flags).reshape(b, p, c, t)
+        if merge_existing:
+            flags_host = flags_host | loader.load_flags()
+        loader.save_flags(flags_host)
+        loader.close()
+        return {
+            "baselines": b,
+            "flagged_fraction": float(flags_host.mean()),
+            "failed": [],
+        }
     pairs = [
         (i, j)
         for i in range(num_antennas or loader.num_antennas)

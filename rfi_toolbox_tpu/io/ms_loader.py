@@ -17,9 +17,17 @@ Key semantics preserved (SURVEY.md §2.1):
 - baselines with zero rows are skipped and excluded from
   ``antenna_baseline_map`` (:230-235);
 - ``num_antennas`` limits only the ANTENNA1 loop; ANTENNA2 runs over all
-  antennas (:199-200);
-- per-baseline x SPW TaQL queries
-  ``DATA_DESC_ID==s && ANTENNA1==i && ANTENNA2==j [&& FIELD_ID==f]``.
+  antennas (:199-200).
+
+Bulk I/O is restructured: the reference issues one TaQL query + getcol
+per baseline x SPW (ms_loader.py:199-228) — SURVEY §3.5 identifies that
+chatty loop as the wall-clock floor of the real-data round trip. Here
+``load``/``load_flags``/``save_flags`` issue ONE query + ONE bulk
+getcol/putcol per SPW and group rows into baselines on the host with a
+stable sort, preserving the per-baseline semantics exactly (equal-
+channel SPW concat, empty-baseline skip, ANTENNA1-only limit). The
+per-baseline streaming API (``load_baseline`` etc.) keeps the targeted
+single-baseline queries for out-of-core use.
 """
 
 import gc
@@ -29,6 +37,36 @@ import numpy as np
 from .fake_ms import FakeMS
 
 __all__ = ["MSLoader"]
+
+
+def _group_baseline_rows(ant1, ant2, max_ant1=None):
+    """Group row indices of one SPW's bulk read into baselines.
+
+    Returns [((a1, a2), row_indices)] sorted ascending by (a1, a2) —
+    the same order the reference's nested antenna loops produce — with
+    each group's rows in original table order (time order). Rows with
+    a1 >= a2 (autocorrelations / reversed) never match the reference's
+    queries and are dropped; ``max_ant1`` applies the ANTENNA1-only
+    ``num_antennas`` limit (ms_loader.py:199-200).
+    """
+    ant1 = np.asarray(ant1)
+    ant2 = np.asarray(ant2)
+    keep = ant2 > ant1
+    if max_ant1 is not None:
+        keep &= ant1 < max_ant1
+    idx = np.nonzero(keep)[0]
+    if idx.size == 0:
+        return []
+    span = int(ant2.max()) + 1
+    key = ant1[idx].astype(np.int64) * span + ant2[idx]
+    order = np.argsort(key, kind="stable")
+    sorted_idx = idx[order]
+    sorted_key = key[order]
+    cuts = np.nonzero(np.diff(sorted_key))[0] + 1
+    segments = np.split(sorted_idx, cuts)
+    return [
+        ((int(ant1[seg[0]]), int(ant2[seg[0]])), seg) for seg in segments
+    ]
 
 
 def _is_fake(ms):
@@ -158,7 +196,12 @@ class MSLoader:
     # -- bulk load --------------------------------------------------------
     def load(self, num_antennas=None, mode="DATA", field_id=None):
         """Load visibilities -> (baselines, pols, total_channels, times)
-        complex128 (ms_loader.py:149-245)."""
+        complex128.
+
+        Same output/semantics as the reference (ms_loader.py:149-245)
+        but via ONE query + bulk getcol per SPW with host-side baseline
+        grouping, instead of one query per baseline x SPW.
+        """
         if num_antennas is None:
             num_antennas = self.num_antennas
         if field_id is not None:
@@ -169,30 +212,40 @@ class MSLoader:
         total_channels = len(same_spw_list) * num_channels
         ff = self._field_filter()
 
-        data_list, baseline_map = [], []
-        for i in range(num_antennas):
-            for j in range(i + 1, self.num_antennas):
-                baseline_data = np.zeros(
-                    [4, total_channels, self.num_times], dtype="complex128"
-                )
-                has_data = False
-                for spw_idx, spw in enumerate(same_spw_list):
-                    subtable = self.tb.query(
-                        f"DATA_DESC_ID=={spw} && ANTENNA1=={i} && ANTENNA2=={j}{ff}"
+        per_spw = []  # (spw_idx, {(a1, a2): (pols, nchan, ntimes)})
+        pair_set = set()
+        for spw_idx, spw in enumerate(same_spw_list):
+            subtable = self.tb.query(f"DATA_DESC_ID=={spw}{ff}")
+            if subtable.nrows() == 0:
+                subtable.close()
+                continue
+            ant1 = np.asarray(subtable.getcol("ANTENNA1"))
+            ant2 = np.asarray(subtable.getcol("ANTENNA2"))
+            vis = np.asarray(subtable.getcol(mode))
+            subtable.close()
+            spw_map = {}
+            for pair, rows in _group_baseline_rows(ant1, ant2, num_antennas):
+                if len(rows) != self.num_times:
+                    raise ValueError(
+                        f"baseline {pair} has {len(rows)} rows in SPW {spw}, "
+                        f"expected {self.num_times}"
                     )
-                    if subtable.nrows() == 0:
-                        subtable.close()
-                        continue
-                    has_data = True
-                    spw_data = subtable.getcol(mode)
-                    start = spw_idx * num_channels
-                    baseline_data[:, start : start + num_channels, :] = spw_data
-                    subtable.close()
-                if has_data:
-                    data_list.append(baseline_data)
-                    baseline_map.append((i, j))
+                spw_map[pair] = vis[:, :, rows]
+            per_spw.append((spw_idx, spw_map))
+            pair_set.update(spw_map)
 
-        self.data = np.stack(data_list)
+        baseline_map = sorted(pair_set)
+        data = np.zeros(
+            [len(baseline_map), 4, total_channels, self.num_times],
+            dtype="complex128",
+        )
+        index = {pair: b for b, pair in enumerate(baseline_map)}
+        for spw_idx, spw_map in per_spw:
+            start = spw_idx * num_channels
+            for pair, block in spw_map.items():
+                data[index[pair], :, start : start + num_channels, :] = block
+
+        self.data = data
         self.antenna_baseline_map = baseline_map
         self.spw_list = same_spw_list
         self.channels_per_spw_list = same_channels_list
@@ -328,51 +381,76 @@ class MSLoader:
         ]
 
     def load_flags(self):
-        """FLAG column with the load() layout (ms_loader.py:444-489)."""
+        """FLAG column with the load() layout (ms_loader.py:444-489),
+        via one bulk getcol per SPW."""
         if self.antenna_baseline_map is None:
             raise ValueError("Must call load() first to establish baseline map")
         ff = self._field_filter()
         num_channels = self.channels_per_spw_list[0]
         total_channels = len(self.spw_list) * num_channels
+        index = {pair: b for b, pair in enumerate(self.antenna_baseline_map)}
 
-        flags_list = []
-        for ant1, ant2 in self.antenna_baseline_map:
-            baseline_flags = np.zeros(
-                [4, total_channels, self.num_times], dtype=bool
-            )
-            for spw_idx, spw in enumerate(self.spw_list):
-                subtable = self.tb.query(
-                    f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && "
-                    f"ANTENNA2=={ant2}{ff}"
-                )
-                spw_flags = subtable.getcol("FLAG")
-                start = spw_idx * num_channels
-                baseline_flags[:, start : start + num_channels, :] = spw_flags
+        flags = np.zeros(
+            [len(self.antenna_baseline_map), 4, total_channels, self.num_times],
+            dtype=bool,
+        )
+        for spw_idx, spw in enumerate(self.spw_list):
+            subtable = self.tb.query(f"DATA_DESC_ID=={spw}{ff}")
+            if subtable.nrows() == 0:
                 subtable.close()
-            flags_list.append(baseline_flags)
+                continue
+            ant1 = np.asarray(subtable.getcol("ANTENNA1"))
+            ant2 = np.asarray(subtable.getcol("ANTENNA2"))
+            col = np.asarray(subtable.getcol("FLAG"))
+            subtable.close()
+            start = spw_idx * num_channels
+            for pair, rows in _group_baseline_rows(ant1, ant2):
+                b = index.get(pair)
+                if b is not None:
+                    flags[b, :, start : start + num_channels, :] = (
+                        col[:, :, rows]
+                    )
 
-        self.flags = np.stack(flags_list)
+        self.flags = flags
         return self.flags
 
     def save_flags(self, flags):
         """Write flags (baselines, pols, channels, times) back to the
-        FLAG column (ms_loader.py:491-530)."""
+        FLAG column (ms_loader.py:491-530).
+
+        One bulk getcol + putcol per SPW (read-modify-write: rows of
+        baselines outside the map — autocorrelations, skipped antennas —
+        keep their existing flags, exactly as the reference's targeted
+        per-baseline putcols would leave them).
+        """
         if self.antenna_baseline_map is None:
             raise ValueError("Must call load() first to establish baseline map")
         ff = self._field_filter()
         num_channels = self.channels_per_spw_list[0]
+        index = {pair: b for b, pair in enumerate(self.antenna_baseline_map)}
+        flags = np.asarray(flags)
 
-        for baseline_idx, (ant1, ant2) in enumerate(self.antenna_baseline_map):
-            baseline_flags = flags[baseline_idx]
-            for spw_idx, spw in enumerate(self.spw_list):
-                start = spw_idx * num_channels
-                spw_flags = baseline_flags[:, start : start + num_channels, :]
-                subtable = self.tb.query(
-                    f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && "
-                    f"ANTENNA2=={ant2}{ff}"
-                )
-                subtable.putcol("FLAG", np.asarray(spw_flags, dtype=bool))
+        for spw_idx, spw in enumerate(self.spw_list):
+            subtable = self.tb.query(f"DATA_DESC_ID=={spw}{ff}")
+            if subtable.nrows() == 0:
                 subtable.close()
+                continue
+            ant1 = np.asarray(subtable.getcol("ANTENNA1"))
+            ant2 = np.asarray(subtable.getcol("ANTENNA2"))
+            start = spw_idx * num_channels
+            col = None
+            for pair, rows in _group_baseline_rows(ant1, ant2):
+                b = index.get(pair)
+                if b is None:
+                    continue
+                if col is None:
+                    col = np.asarray(subtable.getcol("FLAG"))
+                col[:, :, rows] = flags[
+                    b, :, start : start + num_channels, :
+                ].astype(bool)
+            if col is not None:
+                subtable.putcol("FLAG", col)
+            subtable.close()
 
     def get_available_fields(self):
         """Sorted unique FIELD_IDs (ms_loader.py:532-540)."""

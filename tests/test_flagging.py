@@ -112,8 +112,30 @@ def test_flag_measurement_set_reports_failures(rng, monkeypatch):
         return orig(self, ant1, ant2, **kw)
 
     monkeypatch.setattr(ml.MSLoader, "load_baseline", flaky)
-    result = flag_measurement_set(ms, method="mad", sigma=5.0, patch_size=32)
+    result = flag_measurement_set(ms, method="mad", sigma=5.0, patch_size=32,
+                                  streaming=True)
     assert result["baselines"] == 2
     assert result["failed"] == [
         {"baseline": (0, 2), "error": "disk on fire"}
     ]
+
+
+def test_flag_measurement_set_streaming_matches_bulk(rng):
+    """The out-of-core per-baseline path and the default bulk path must
+    write identical FLAG columns."""
+    ms1, _ = _rfi_ms(rng, nchan=64, ntime=64)
+    ms2 = ms1.copy()
+
+    r_bulk = flag_measurement_set(ms1, method="mad", sigma=5.0, patch_size=64)
+    r_stream = flag_measurement_set(ms2, method="mad", sigma=5.0,
+                                    patch_size=64, streaming=True)
+    assert r_bulk["baselines"] == r_stream["baselines"] == 3
+
+    for ms in (ms1, ms2):
+        loader = MSLoader(ms)
+        loader.load()
+        flags = loader.load_flags()
+        loader.close()
+        if ms is ms1:
+            bulk_flags = flags
+    np.testing.assert_array_equal(bulk_flags, flags)
