@@ -1,0 +1,136 @@
+"""Multi-host smoke: 2-process CPU jax.distributed through OUR helpers.
+
+Round-1 verdict: parallel/distributed.py was never exercised beyond the
+single-process fallback and swallowed init errors silently. Here two
+real processes connect through ``initialize_distributed``, build a
+``global_mesh``, and run a cross-process jit reduction (Gloo CPU
+collectives); the failure path is asserted to raise, not degrade.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, {repo!r})
+    from rfi_toolbox_tpu.parallel.distributed import (
+        global_mesh, initialize_distributed, process_info,
+    )
+
+    pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    ok = initialize_distributed(
+        coordinator_address=f"localhost:{{port}}",
+        num_processes=n, process_id=pid,
+    )
+    assert ok, "initialize_distributed returned False"
+    index, count, local = process_info()
+    assert (index, count) == (pid, n), (index, count)
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = global_mesh(model_axis=1)
+    assert mesh.devices.size == count * local
+
+    # a jit reduction whose input is sharded across the two PROCESSES:
+    # XLA inserts a cross-host collective (Gloo on CPU)
+    x = jax.device_put(
+        jnp.arange(mesh.devices.size * 4, dtype=jnp.float32).reshape(-1, 4),
+        NamedSharding(mesh, P("data")),
+    )
+    total = jax.jit(lambda a: a.sum(), out_shardings=NamedSharding(mesh, P()))(x)
+    expected = sum(range(mesh.devices.size * 4))
+    assert float(total) == expected, float(total)
+    print(f"WORKER_OK {{index}}/{{count}} sum={{float(total)}}", flush=True)
+""").format(repo=REPO_ROOT)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_smoke(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # 1 local device per process
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
+        assert "WORKER_OK" in out, out
+
+
+def test_explicit_coordinator_failure_is_loud():
+    """A misconfigured explicit coordinator must fail LOUDLY, never
+    silently continue single-host (round-1 weak #3). The distributed
+    client aborts the process (abseil fatal) on an unreachable
+    coordinator; catchable init errors re-raise via our wrapper —
+    either way the worker must not reach the SWALLOWED line."""
+    code = textwrap.dedent(f"""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import sys
+        sys.path.insert(0, {REPO_ROOT!r})
+        from rfi_toolbox_tpu.parallel.distributed import initialize_distributed
+        try:
+            initialize_distributed(coordinator_address="localhost:1",
+                                   num_processes=2, process_id=1,
+                                   initialization_timeout=5)
+        except Exception as e:
+            print("RAISED", type(e).__name__, flush=True)
+            raise SystemExit(17)
+        print("SWALLOWED", flush=True)
+    """)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # non-coordinator process connecting to a dead port fails fast-ish
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=180,
+    )
+    assert "SWALLOWED" not in proc.stdout, proc.stdout
+    assert proc.returncode != 0, (proc.returncode, proc.stdout, proc.stderr)
+
+
+def test_autodetect_fallback_returns_false_and_warns(caplog):
+    """Argument-free init in a single-process env falls back (loudly)."""
+    import logging
+
+    import jax
+
+    from rfi_toolbox_tpu.parallel.distributed import initialize_distributed
+
+    if jax.process_count() > 1:
+        pytest.skip("already multi-process")
+    with caplog.at_level(logging.WARNING,
+                         logger="rfi_toolbox_tpu.parallel.distributed"):
+        ok = initialize_distributed()
+    assert ok is False
+    assert any("single-process" in r.message for r in caplog.records)
