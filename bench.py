@@ -111,6 +111,122 @@ def main():
 
 
 
+def bench_fourpol(profile_dir=None):
+    """4-polarization apples-to-apples headline: the reference's
+    standard config (synthetic_train_4k.yaml: 1024^2, 4 pol, ~51 events,
+    bandpass order 8, pol_corr 0.8) through the same preprocess+train
+    pipeline as main(). Reports patches/s plus a per-stage breakdown
+    (generation / preprocess / train) so the time sinks are on record.
+    Pass a directory (or set RFI_TRACE_DIR) to also write a
+    jax.profiler trace of one steady-state iteration."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.preprocess import Preprocessor
+    from rfi_toolbox_tpu.synth import make_sample_generator
+    from rfi_toolbox_tpu.train import create_train_state, train_step
+
+    B = 2  # 4-pol waterfalls/iteration -> 8 planes, same volume as main()
+    C = T = 1024
+    PATCH = 128
+    TRAIN_BATCH = 128
+
+    sample_fn = make_sample_generator(
+        C, T,
+        noise_level=1.0,
+        rfi_power_min=1000.0,
+        rfi_power_max=10000.0,
+        rfi_config={
+            "narrowband_persistent": {"count": 20},
+            "broadband_persistent": {"count": 5},
+            "narrowband_bursty": {"count": 20},
+            "broadband_bursty": {"count": 5},
+            "frequency_sweep": {"count": 1},
+        },
+        enable_bandpass=True,
+        bandpass_order=8,
+        num_polarizations=4,
+        pol_corr=0.8,
+    )
+    batch_gen = jax.jit(jax.vmap(sample_fn))
+
+    model = UNet(out_channels=1, init_features=32, dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, jax.random.key(1), (1, PATCH, PATCH, 3), learning_rate=1e-4
+    )
+
+    def generate(key):
+        wf, mask, _ = batch_gen(jax.random.split(key, B))
+        return wf, mask  # (B, 4, C, T)
+
+    def preprocess(wf, mask):
+        ds = Preprocessor(wf, flags=mask).create_dataset(
+            patch_size=PATCH, use_custom_flags=True, seed=0,
+            pad_to_multiple=TRAIN_BATCH,
+        )
+        return jnp.asarray(ds.images), jnp.asarray(ds.labels, jnp.float32)
+
+    def train_all(state, images, labels):
+        n = (len(images) // TRAIN_BATCH) * TRAIN_BATCH
+        loss = None
+        for s in range(0, n, TRAIN_BATCH):
+            state, loss = train_step(
+                state, images[s : s + TRAIN_BATCH], labels[s : s + TRAIN_BATCH]
+            )
+        return state, loss
+
+    # Warmup / compile
+    wf, mask = generate(jax.random.key(0))
+    images, labels = preprocess(wf, mask)
+    state, loss = train_all(state, images, labels)
+    jax.block_until_ready(loss)
+
+    profile_dir = profile_dir or os.environ.get("RFI_TRACE_DIR")
+    if profile_dir:
+        from rfi_toolbox_tpu.utils.profiling import trace
+
+        with trace(profile_dir):
+            wf, mask = generate(jax.random.key(99))
+            images, labels = preprocess(wf, mask)
+            state, loss = train_all(state, images, labels)
+            jax.block_until_ready(loss)
+
+    # Per-stage breakdown (device-synced at each boundary)
+    stages = {"generate": 0.0, "preprocess": 0.0, "train": 0.0}
+    iters = 3
+    total_patches = 0
+    t_all0 = time.perf_counter()
+    for i in range(iters):
+        t0 = time.perf_counter()
+        wf, mask = generate(jax.random.key(i + 1))
+        jax.block_until_ready(wf)
+        t1 = time.perf_counter()
+        images, labels = preprocess(wf, mask)
+        jax.block_until_ready(images)
+        t2 = time.perf_counter()
+        state, loss = train_all(state, images, labels)
+        jax.block_until_ready(loss)
+        t3 = time.perf_counter()
+        stages["generate"] += t1 - t0
+        stages["preprocess"] += t2 - t1
+        stages["train"] += t3 - t2
+        total_patches += len(images)
+    elapsed = time.perf_counter() - t_all0
+
+    value = total_patches / elapsed
+    print(json.dumps({
+        "metric": "fourpol_patches_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "patches/s (4-pol 1024^2 preprocess + UNet fwd+bwd)",
+        "vs_baseline": round(value / CPU_REFERENCE_PATCHES_PER_SEC, 2),
+        "stage_seconds": {k: round(v, 3) for k, v in stages.items()},
+        "waterfalls_per_sec": round(B * iters / elapsed, 3),
+    }))
+
+
 def bench_generate_mad_ffi():
     """BASELINE config 1: SyntheticDataGenerator 1024^2 + MAD sigma-5
     flagging + compute_ffi, waterfalls/sec on one chip."""
@@ -216,6 +332,7 @@ if __name__ == "__main__":
         "gen_mad_ffi": "bench_generate_mad_ffi",
         "instance64": "bench_instance64",
         "ms_roundtrip": "bench_ms_roundtrip",
+        "fourpol": "bench_fourpol",
     }
     if len(sys.argv) > 1 and sys.argv[1] in configs:
         globals()[configs[sys.argv[1]]]()

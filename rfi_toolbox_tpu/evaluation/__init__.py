@@ -14,6 +14,7 @@ from .metrics import (
     evaluate_segmentation,
     evaluate_segmentation_batch,
 )
+from .instances import evaluate_instance_model, match_instances
 from .statistics import (
     compute_calcquality,
     compute_ffi,
@@ -36,4 +37,6 @@ __all__ = [
     "compute_ffi",
     "compute_calcquality",
     "print_statistics_comparison",
+    "match_instances",
+    "evaluate_instance_model",
 ]

@@ -289,10 +289,17 @@ def matrix_nms(masks, scores, classes, sigma=2.0):
     return scores * jnp.minimum(decay, 1.0)
 
 
-def solo_decode(outputs, score_thresh=0.3, mask_thresh=0.5, nms_sigma=2.0):
+def solo_decode(outputs, score_thresh=0.3, mask_thresh=0.5, nms_sigma=2.0,
+                out_size=None):
     """Decode one image's outputs into scored instances (device-side,
     static shapes: returns all S^2 candidates with decayed scores;
     filter by score on host).
+
+    Args:
+        out_size: optional (H, W) — bilinearly upsample mask logits to
+            this size before thresholding. The mask head runs at input/4
+            resolution; thin RFI events (1-10 channel strips) need the
+            upsample for faithful boundaries at full resolution.
 
     Returns dict: masks (S^2, h, w) bool, scores (S^2,), classes (S^2,).
     """
@@ -306,6 +313,10 @@ def solo_decode(outputs, score_thresh=0.3, mask_thresh=0.5, nms_sigma=2.0):
     kernels = outputs["kernels"].reshape(s * s, -1)
     mask_logits = jnp.einsum("ke,hwe->khw", kernels,
                              outputs["mask_feats"])
+    if out_size is not None:
+        mask_logits = jax.image.resize(
+            mask_logits, (s * s, *out_size), method="bilinear"
+        )
     masks = jax.nn.sigmoid(mask_logits) > mask_thresh
 
     active = scores >= score_thresh

@@ -161,18 +161,21 @@ class InstanceTrainer:
                 })
         return {"history": history}
 
-    def predict(self, images, score_thresh=0.3):
+    def predict(self, images, score_thresh=0.3, full_resolution=True):
         """Decode instances for (N, p, p, 3) float images. Returns a
-        list of per-image dicts (masks/scores/classes)."""
+        list of per-image dicts (masks/scores/classes); masks are
+        upsampled to the input resolution unless full_resolution=False
+        (the mask head runs at input/4)."""
         from ..models.instance import solo_decode
 
-        out = self.model.apply({"params": self.params}, jnp.asarray(images),
-                               train=False)
+        images = jnp.asarray(images)
+        out_size = tuple(images.shape[1:3]) if full_resolution else None
+        out = self.model.apply({"params": self.params}, images, train=False)
         return [
             jax.tree.map(
                 np.asarray,
                 solo_decode(jax.tree.map(lambda a: a[i], out),
-                            score_thresh=score_thresh),
+                            score_thresh=score_thresh, out_size=out_size),
             )
             for i in range(len(images))
         ]

@@ -1,0 +1,99 @@
+"""Instance-segmentation quality: matching metrics + held-out gate.
+
+Round-1 verdict #5: instance quality was "a start, not parity-grade"
+with no held-out quality gate in tests. ``match_instances`` gets exact
+unit coverage here; the slow-marked gate asserts the shipped pretrained
+SOLOLite reaches recall >= 0.7 @ IoU >= 0.5 with correct class on a
+fixed-seed held-out set (BASELINE config 4, "Mask-RCNN-class").
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from rfi_toolbox_tpu.evaluation import match_instances
+
+WEIGHTS = Path(__file__).parent.parent / "pretrained" / "sololite_synthetic.npz"
+
+
+def _det(masks, scores, classes):
+    return {
+        "masks": np.asarray(masks, bool),
+        "scores": np.asarray(scores, float),
+        "classes": np.asarray(classes, int),
+    }
+
+
+def _strip_mask(h, w, sl):
+    m = np.zeros((h, w), bool)
+    m[sl] = True
+    return m
+
+
+def test_match_perfect_detection():
+    gt = np.stack([_strip_mask(32, 32, np.s_[4:8, :]),
+                   _strip_mask(32, 32, np.s_[:, 20:24])])
+    det = _det(gt.copy(), [0.9, 0.8], [2, 5])
+    r = match_instances(det, gt, np.array([2, 5]))
+    assert r["recall"] == 1.0 and r["precision"] == 1.0
+    assert r["matched"].all()
+    np.testing.assert_allclose(r["best_iou"], [1.0, 1.0])
+
+
+def test_match_requires_class_agreement():
+    gt = np.stack([_strip_mask(32, 32, np.s_[4:8, :])])
+    det = _det(gt.copy(), [0.9], [3])  # wrong class
+    r = match_instances(det, gt, np.array([2]))
+    assert r["recall"] == 0.0
+    assert r["best_iou"][0] == 0.0  # class-gated diagnostic too
+    r2 = match_instances(det, gt, np.array([2]), require_class=False)
+    assert r2["recall"] == 1.0
+
+
+def test_match_score_threshold_and_greedy():
+    gt = np.stack([_strip_mask(32, 32, np.s_[4:8, :])])
+    good = _strip_mask(32, 32, np.s_[4:8, :])
+    det = _det([good, good], [0.9, 0.4], [1, 1])
+    # both above threshold: one matches, the duplicate costs precision
+    r = match_instances(det, gt, np.array([1]), score_thresh=0.3)
+    assert r["tp"] == 1 and r["n_det"] == 2
+    assert r["precision"] == 0.5
+    # raising the threshold discards the duplicate
+    r2 = match_instances(det, gt, np.array([1]), score_thresh=0.5)
+    assert r2["precision"] == 1.0
+
+
+def test_match_iou_threshold():
+    gt = np.stack([_strip_mask(32, 32, np.s_[0:8, :])])
+    half = _strip_mask(32, 32, np.s_[0:4, :])  # IoU 0.5 exactly
+    det = _det([half], [0.9], [0])
+    assert match_instances(det, gt, np.array([0]),
+                           iou_thresh=0.5)["recall"] == 1.0
+    assert match_instances(det, gt, np.array([0]),
+                           iou_thresh=0.6)["recall"] == 0.0
+
+
+def test_match_padded_invalid_gt_ignored():
+    gt = np.stack([_strip_mask(16, 16, np.s_[2:4, :]),
+                   np.zeros((16, 16), bool)])  # padded row
+    det = _det([gt[0]], [0.9], [0])
+    r = match_instances(det, gt, np.array([0, 0]),
+                        gt_valid=np.array([True, False]))
+    assert r["n_gt"] == 1 and r["recall"] == 1.0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not WEIGHTS.exists(), reason="weights not present")
+def test_pretrained_sololite_quality_gate():
+    """Held-out per-event quality of the shipped snapshot: recall >=
+    0.7 at IoU >= 0.5 with correct class (fixed seed 10_000, disjoint
+    from every training stream)."""
+    from rfi_toolbox_tpu.evaluation import evaluate_instance_model
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    trainer = InstanceTrainer.load(WEIGHTS, batch_size=8, seed=0)
+    q = evaluate_instance_model(trainer, num_images=16, seed=10_000,
+                                iou_thresh=0.5, score_thresh=0.3)
+    assert q["n_gt"] > 40  # the held-out set is non-trivial
+    assert q["recall"] >= 0.7, q
