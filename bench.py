@@ -24,6 +24,14 @@ import numpy as np
 CPU_REFERENCE_PATCHES_PER_SEC = 1.73  # measured 2026-08-16, see module docstring
 
 
+def _enable_cache():
+    # persist XLA compiles across runs (remote-TPU compiles are 30-60 s
+    # per shape); the measured numbers always exclude compile anyway
+    from rfi_toolbox_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -334,6 +342,7 @@ if __name__ == "__main__":
         "ms_roundtrip": "bench_ms_roundtrip",
         "fourpol": "bench_fourpol",
     }
+    _enable_cache()
     if len(sys.argv) > 1 and sys.argv[1] in configs:
         globals()[configs[sys.argv[1]]]()
     else:

@@ -212,13 +212,23 @@ def _focal_loss(logits, targets_onehot, alpha=0.25, gamma=2.0):
 
 
 def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
-              mask_weight=3.0):
+              mask_weight=3.0, mask_loss_stride=2):
     """Focal category loss + Dice mask loss for positive cells.
 
     Args:
         outputs: SOLOLite forward dict.
         inst_masks: (B, M, H, W) ground-truth instance masks.
         inst_classes / inst_valid: (B, M).
+        mask_loss_stride: resolution of the Dice term relative to the
+            GT (1 = full res, 2 = half, 4 = the mask head's native /4).
+            Predicted mask logits are bilinearly resized to H/stride and
+            the GT is SOFT-downsampled (area-averaging 'linear', not
+            nearest): RFI events are routinely 1-10 pixels wide, and
+            nearest-downsampling such GT to /4 erases thin strips
+            entirely — zero gradient, capped IoU. Soft GT keeps
+            fractional coverage so even 1-px strips supervise. Stride 2
+            is the speed/quality sweet spot on TPU (full res quadruples
+            the HBM traffic of the K-candidate upsample).
 
     Returns:
         (total_loss, dict of components)
@@ -237,12 +247,19 @@ def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
     # mask loss: all S^2 candidates at once, masked to positive cells
     mask_logits = instance_masks_from_outputs(outputs).astype(jnp.float32)
     _, k, mh, mw = mask_logits.shape
-    # downsample GT to mask resolution
-    gt = jax.image.resize(
-        inst_masks.astype(jnp.float32),
-        (inst_masks.shape[0], inst_masks.shape[1], mh, mw),
-        method="nearest",
-    )
+    gh, gw = inst_masks.shape[2], inst_masks.shape[3]
+    th, tw = gh // mask_loss_stride, gw // mask_loss_stride
+    if (th, tw) != (mh, mw):
+        mask_logits = jax.image.resize(
+            mask_logits, (b, k, th, tw), method="bilinear"
+        )
+        mh, mw = th, tw
+    gt = inst_masks.astype(jnp.float32)
+    if (th, tw) != (gh, gw):
+        gt = jax.image.resize(
+            gt, (inst_masks.shape[0], inst_masks.shape[1], th, tw),
+            method="linear",
+        )
     flat_idx = mask_idx.reshape(b, k)
     positive = flat_idx >= 0
     gather_idx = jnp.maximum(flat_idx, 0)

@@ -23,7 +23,8 @@ from ..synth.sample import make_instance_sample_generator
 __all__ = ["InstanceTrainer", "make_instance_train_step"]
 
 
-def make_instance_train_step(model, tx, use_pallas="auto"):
+def make_instance_train_step(model, tx, use_pallas="auto",
+                             mask_loss_stride=2):
     """Jitted (params, opt_state, batch) -> (params, opt_state, loss,
     parts) step for SOLOLite on complex patches + instance targets."""
     if use_pallas == "auto":
@@ -40,7 +41,8 @@ def make_instance_train_step(model, tx, use_pallas="auto"):
 
         def loss_fn(p):
             out = model.apply({"params": p}, images, train=False)
-            return solo_loss(out, inst_masks, inst_classes, inst_valid)
+            return solo_loss(out, inst_masks, inst_classes, inst_valid,
+                             mask_loss_stride=mask_loss_stride)
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -67,6 +69,7 @@ class InstanceTrainer:
         weight_decay=1e-5,
         seed=0,
         use_pallas="auto",
+        mask_loss_stride=2,
     ):
         self.model = model if model is not None else SOLOLite(
             num_classes=6, grid_size=max(patch_size // 16, 4)
@@ -91,7 +94,8 @@ class InstanceTrainer:
             optax.clip_by_global_norm(1.0),
             optax.adamw(learning_rate, weight_decay=weight_decay),
         )
-        self._step = make_instance_train_step(self.model, self.tx, use_pallas)
+        self._step = make_instance_train_step(self.model, self.tx, use_pallas,
+                                              mask_loss_stride=mask_loss_stride)
         self.params = None
         self.opt_state = None
 

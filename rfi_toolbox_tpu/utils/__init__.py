@@ -1,7 +1,7 @@
 """Utilities: errors, profiling, and small helpers."""
 
 from .errors import ConfigValidationError, DataShapeError, RFIToolboxError
-from .platform import configure_platform
+from .platform import configure_platform, enable_compilation_cache
 from .profiling import StepTimer, annotate, trace
 from .transfer import to_device, to_host
 
@@ -10,6 +10,7 @@ __all__ = [
     "ConfigValidationError",
     "DataShapeError",
     "configure_platform",
+    "enable_compilation_cache",
     "StepTimer",
     "annotate",
     "trace",

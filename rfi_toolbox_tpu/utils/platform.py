@@ -8,7 +8,7 @@ code can set ``JAX_PLATFORMS``. This helper re-applies the choice via
 
 import os
 
-__all__ = ["configure_platform"]
+__all__ = ["configure_platform", "enable_compilation_cache"]
 
 
 def configure_platform(device=None):
@@ -24,3 +24,25 @@ def configure_platform(device=None):
     if not choice or choice == "tpu":
         return
     jax.config.update("jax_platforms", choice)
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Persist compiled XLA programs across processes.
+
+    Remote-TPU compiles run 30-60 s per new shape (CLAUDE.md); caching
+    them on disk makes every CLI/bench rerun with repeated shapes start
+    hot. No-op if the jax version lacks the config knobs.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rfi_jax_cache"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (AttributeError, OSError):  # older jax / read-only fs
+        return None
+    return cache_dir
