@@ -39,6 +39,14 @@ def main():
         print(f"image {i}: {int(keep.sum())} instances, "
               f"classes {sorted(set(det['classes'][keep].tolist()))}")
 
+    # held-out per-event quality (COCO-style matching @ IoU 0.5)
+    from rfi_toolbox_tpu.evaluation import evaluate_instance_model
+
+    quality = evaluate_instance_model(trainer, num_images=8, seed=10_000,
+                                      iou_thresh=0.5, score_thresh=0.3)
+    print({k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in quality.items()})
+
 
 if __name__ == "__main__":
     main()

@@ -49,6 +49,7 @@ def flag_waterfalls(
     predictor=None,
     threshold=0.5,
     use_pallas="auto",
+    mesh=None,
 ):
     """Flag a batch of waterfalls on device.
 
@@ -58,6 +59,12 @@ def flag_waterfalls(
         predictor: for method='model': callable (N, p, p, 3) float32 ->
             (N, p, p) bool (e.g. ``Trainer.predict``).
         use_pallas: kernel dispatch ('auto' = non-CPU backends).
+        mesh: optional jax.sharding.Mesh with a 'data' axis — the
+            waterfall batch is sharded over it and every stage runs
+            SPMD across the chips (per-patch MAD needs no cross-shard
+            communication; XLA keeps the whole chain sharded). This is
+            how one large observation (baselines x pols planes) spreads
+            over a slice.
 
     Returns:
         (M, C, T) bool flags (device array).
@@ -65,6 +72,10 @@ def flag_waterfalls(
     if use_pallas == "auto":
         use_pallas = jax.default_backend() != "cpu"
     flat = to_device(waterfalls)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        flat = jax.device_put(flat, NamedSharding(mesh, PartitionSpec("data")))
     if flat.ndim != 3:
         raise ValueError(f"Expected (M, C, T) waterfalls, got {flat.shape}")
     m, c, t = flat.shape
@@ -110,6 +121,7 @@ def flag_measurement_set(
     merge_existing=False,
     use_pallas="auto",
     streaming=False,
+    mesh=None,
 ):
     """Flag an entire measurement set and write the FLAG column back.
 
@@ -148,6 +160,7 @@ def flag_measurement_set(
             predictor=predictor,
             threshold=threshold,
             use_pallas=use_pallas,
+            mesh=mesh,
         )
         flags_host = np.asarray(flags).reshape(b, p, c, t)
         if merge_existing:

@@ -139,3 +139,25 @@ def test_flag_measurement_set_streaming_matches_bulk(rng):
         if ms is ms1:
             bulk_flags = flags
     np.testing.assert_array_equal(bulk_flags, flags)
+
+
+def test_flag_measurement_set_sharded_mesh(rng):
+    """One observation's baselines x pols planes spread over the 8-chip
+    virtual mesh; flags must equal the single-device result exactly."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from rfi_toolbox_tpu.parallel import make_mesh
+
+    ms1, _ = _rfi_ms(rng, nchan=64, ntime=64, n_ant=3)  # 3 bl x 4 pol = 12
+    ms2 = ms1.copy()
+    mesh = make_mesh(shape=(4,), axis_names=("data",),
+                     devices=jax.devices()[:4])
+
+    flag_measurement_set(ms1, method="mad", sigma=5.0, patch_size=64)
+    flag_measurement_set(ms2, method="mad", sigma=5.0, patch_size=64,
+                         mesh=mesh)
+    l1, l2 = MSLoader(ms1), MSLoader(ms2)
+    l1.load(); l2.load()
+    np.testing.assert_array_equal(l1.load_flags(), l2.load_flags())
