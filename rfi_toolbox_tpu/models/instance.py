@@ -212,7 +212,7 @@ def _focal_loss(logits, targets_onehot, alpha=0.25, gamma=2.0):
 
 
 def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
-              mask_weight=3.0, mask_loss_stride=2):
+              mask_weight=3.0, mask_loss_stride=2, max_positive_cells=16):
     """Focal category loss + Dice mask loss for positive cells.
 
     Args:
@@ -229,6 +229,12 @@ def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
             fractional coverage so even 1-px strips supervise. Stride 2
             is the speed/quality sweet spot on TPU (full res quadruples
             the HBM traffic of the K-candidate upsample).
+        max_positive_cells: Dice is only defined on POSITIVE grid cells
+            (measured max ~12 of S^2=64 under the default RFI config),
+            so the loss gathers the first P positive cells per image
+            and builds/upsamples only those P candidate masks instead
+            of all S^2 — a 4x cut in the mask branch's matmul + resize
+            traffic. None = all cells (no cap).
 
     Returns:
         (total_loss, dict of components)
@@ -244,9 +250,29 @@ def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
         (cate_t < num_classes).sum(), 1
     )
 
-    # mask loss: all S^2 candidates at once, masked to positive cells
-    mask_logits = instance_masks_from_outputs(outputs).astype(jnp.float32)
-    _, k, mh, mw = mask_logits.shape
+    # mask loss on positive cells only: gather the first P positive
+    # cells per image, then build just those candidate masks
+    k = s * s
+    flat_idx = mask_idx.reshape(b, k)
+    if max_positive_cells is not None and max_positive_cells < k:
+        p = int(max_positive_cells)
+        order = jnp.argsort(
+            jnp.where(flat_idx >= 0, 0, 1), axis=1, stable=True
+        )
+        sel = order[:, :p]                                    # (B, P)
+        flat_idx = jnp.take_along_axis(flat_idx, sel, axis=1)
+        kern = jnp.take_along_axis(
+            outputs["kernels"].reshape(b, k, -1).astype(jnp.float32),
+            sel[:, :, None], axis=1,
+        )
+        mask_logits = jnp.einsum(
+            "bpe,bhwe->bphw", kern,
+            outputs["mask_feats"].astype(jnp.float32),
+        )
+        k = p
+    else:
+        mask_logits = instance_masks_from_outputs(outputs).astype(jnp.float32)
+    mh, mw = mask_logits.shape[2], mask_logits.shape[3]
     gh, gw = inst_masks.shape[2], inst_masks.shape[3]
     th, tw = gh // mask_loss_stride, gw // mask_loss_stride
     if (th, tw) != (mh, mw):
@@ -260,7 +286,6 @@ def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
             gt, (inst_masks.shape[0], inst_masks.shape[1], th, tw),
             method="linear",
         )
-    flat_idx = mask_idx.reshape(b, k)
     positive = flat_idx >= 0
     gather_idx = jnp.maximum(flat_idx, 0)
     gt_per_cell = jnp.take_along_axis(
