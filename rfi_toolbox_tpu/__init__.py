@@ -25,6 +25,7 @@ Subpackages:
 - parallel: device mesh and sharding helpers
 - config: YAML config loading and validation
 - cli: console entry points
+- serving: AOT-compiled fixed-shape production predictors
 - visualization: dashboards and plotting (host-side)
 
 Example:
@@ -48,6 +49,7 @@ _LAZY_MODULES = {
     "io",
     "cli",
     "native",
+    "serving",
     "visualization",
     # reference-path compatibility aliases
     "core",

@@ -1,0 +1,105 @@
+"""Production serving: ahead-of-time-compiled fixed-shape predictors.
+
+The reference has no serving story (inference happens inside eval/viz
+scripts). For production flagging the latency contract matters: XLA
+compiles on first call (30-60 s on a remote TPU per shape), which is
+unacceptable mid-stream. This module AOT-compiles the forward once at
+startup via ``jax.jit(...).lower(...).compile()`` for a single static
+batch shape; every request then pads to that shape and runs the cached
+executable — no compile can ever happen on the request path.
+
+>>> from rfi_toolbox_tpu.serving import CompiledPredictor
+>>> pred = CompiledPredictor.from_snapshot("pretrained/unet16_synthetic.npz")
+>>> masks = pred(images)                     # (N, 128, 128, 3) -> (N, 128, 128)
+>>> flag_measurement_set(ms, method="model", predictor=pred)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["CompiledPredictor"]
+
+
+class CompiledPredictor:
+    """AOT-compiled segmentation forward with a fixed batch shape.
+
+    Args:
+        model: Flax module (UNet family).
+        params / batch_stats: inference variables.
+        input_shape: (H, W, C) of one image.
+        batch_size: the ONE static batch size compiled; requests of any
+            length are chunked/padded to it.
+        threshold: sigmoid cut for the binary mask.
+    """
+
+    def __init__(self, model, params, batch_stats=None, input_shape=(128, 128, 3),
+                 batch_size=32, threshold=0.5):
+        self.batch_size = int(batch_size)
+        self.input_shape = tuple(input_shape)
+        self.threshold = float(threshold)
+        variables = {"params": params, "batch_stats": batch_stats or {}}
+        thresh = self.threshold
+
+        def fwd(variables, images):
+            logits = model.apply(variables, images, train=False)
+            logits = logits[..., 0] if logits.ndim == 4 else logits
+            return jax.nn.sigmoid(logits) > thresh
+
+        spec = jax.ShapeDtypeStruct(
+            (self.batch_size, *self.input_shape), jnp.float32
+        )
+        var_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype),
+            variables,
+        )
+        self._variables = jax.tree.map(jnp.asarray, variables)
+        # lower+compile NOW: the request path can never trigger a compile
+        self._compiled = jax.jit(fwd).lower(var_spec, spec).compile()
+
+    @classmethod
+    def from_snapshot(cls, path, model=None, **kwargs):
+        """Build from an ``export_params`` .npz snapshot. ``model``
+        defaults to a UNet with the snapshot's ``init_features``."""
+        from .train.trainer import load_params
+
+        params, batch_stats, meta = load_params(path)
+        if model is None:
+            from .models import UNet
+
+            model = UNet(init_features=int(meta.get("init_features", 32)))
+        return cls(model, params, batch_stats, **kwargs)
+
+    @property
+    def cost_analysis(self):
+        """XLA cost analysis of the compiled executable (flops etc.)."""
+        try:
+            return self._compiled.cost_analysis()
+        except Exception:  # backend may not implement it
+            return None
+
+    def __call__(self, images):
+        """(N, H, W, C) float -> (N, H, W) bool; any N (chunked+padded
+        to the compiled batch size)."""
+        images = np.asarray(images, dtype=np.float32)
+        if images.shape[1:] != self.input_shape:
+            raise ValueError(
+                f"expected (N, {', '.join(map(str, self.input_shape))}), "
+                f"got {images.shape}"
+            )
+        n = len(images)
+        bs = self.batch_size
+        out = []
+        for start in range(0, n, bs):
+            chunk = images[start : start + bs]
+            valid = len(chunk)
+            if valid < bs:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bs - valid, *self.input_shape),
+                                     np.float32)]
+                )
+            preds = self._compiled(self._variables, jnp.asarray(chunk))
+            out.append(np.asarray(preds)[:valid])
+        return np.concatenate(out) if out else np.zeros(
+            (0, *self.input_shape[:2]), bool
+        )

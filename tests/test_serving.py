@@ -1,0 +1,79 @@
+"""AOT-compiled serving predictor tests."""
+
+import numpy as np
+import pytest
+
+from rfi_toolbox_tpu.serving import CompiledPredictor
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import create_train_state
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3))
+    return CompiledPredictor(
+        model, state.params, state.batch_stats,
+        input_shape=(32, 32, 3), batch_size=4,
+    ), model, state
+
+
+def test_compiled_matches_eager(predictor, rng):
+    import jax
+
+    pred, model, state = predictor
+    x = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    got = pred(x)
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False,
+    )
+    want = np.asarray(jax.nn.sigmoid(logits[..., 0]) > 0.5)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_partial_and_multi_chunk_batches(predictor, rng):
+    pred, _, _ = predictor
+    for n in (1, 3, 4, 7, 9):
+        x = rng.normal(size=(n, 32, 32, 3)).astype(np.float32)
+        out = pred(x)
+        assert out.shape == (n, 32, 32) and out.dtype == bool
+    assert pred(np.zeros((0, 32, 32, 3), np.float32)).shape == (0, 32, 32)
+
+
+def test_shape_mismatch_raises(predictor):
+    pred, _, _ = predictor
+    with pytest.raises(ValueError, match="expected"):
+        pred(np.zeros((2, 16, 16, 3), np.float32))
+
+
+def test_plugs_into_flag_waterfalls(predictor, rng):
+    from rfi_toolbox_tpu.io import flag_waterfalls
+
+    pred, _, _ = predictor
+    vis = (rng.normal(1.0, 0.1, (2, 32, 32))).astype(np.complex64)
+    flags = np.asarray(
+        flag_waterfalls(vis, method="model", predictor=pred, patch_size=32)
+    )
+    assert flags.shape == (2, 32, 32)
+
+
+def test_from_snapshot(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import create_train_state, export_params
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3))
+    export_params(state, tmp_path / "m.npz", metadata={"init_features": 4})
+    pred = CompiledPredictor.from_snapshot(
+        tmp_path / "m.npz", input_shape=(32, 32, 3), batch_size=2,
+    )
+    out = pred(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    assert out.shape == (3, 32, 32)
