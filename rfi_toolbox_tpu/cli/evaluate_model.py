@@ -48,23 +48,59 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
     }
 
 
+def evaluate_instance_snapshot(model_path, num_images=32, seed=10_000,
+                               iou_thresh=0.5, score_thresh=0.3,
+                               batch_size=8):
+    """Held-out instance-segmentation quality of a SOLOLite snapshot
+    (COCO-style per-event matching on fixed-seed synthetic batches)."""
+    from rfi_toolbox_tpu.evaluation import evaluate_instance_model
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    trainer = InstanceTrainer.load(model_path, batch_size=batch_size)
+    return evaluate_instance_model(
+        trainer, num_images=num_images, seed=seed,
+        iou_thresh=iou_thresh, score_thresh=score_thresh,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Evaluate a trained RFI masking model."
     )
     parser.add_argument("--model_path", type=str, required=True)
-    parser.add_argument("--dataset_dir", type=str, required=True)
+    parser.add_argument("--dataset_dir", type=str, default=None)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--in_channels", type=int, default=8)
     parser.add_argument("--model_type", type=str, default="unet")
     parser.add_argument("--init_features", type=int, default=32)
+    parser.add_argument("--instance", action="store_true",
+                        help="Evaluate a SOLOLite instance snapshot on "
+                        "fixed-seed held-out synthetic batches instead "
+                        "of a semantic dataset dir")
+    parser.add_argument("--num_images", type=int, default=32)
+    parser.add_argument("--iou_thresh", type=float, default=0.5)
+    parser.add_argument("--score_thresh", type=float, default=0.3)
+    parser.add_argument("--seed", type=int, default=10_000)
     args = parser.parse_args(argv)
 
     from rfi_toolbox_tpu.utils.platform import configure_platform
 
     configure_platform(args.device)
 
+    if args.instance:
+        results = evaluate_instance_snapshot(
+            args.model_path, num_images=args.num_images, seed=args.seed,
+            iou_thresh=args.iou_thresh, score_thresh=args.score_thresh,
+            batch_size=args.batch_size,
+        )
+        print("Instance Evaluation Results:")
+        for metric, value in results.items():
+            print(f"  {metric}: {value}")
+        return results
+
+    if not args.dataset_dir:
+        parser.error("--dataset_dir is required unless --instance is set")
     results = evaluate_model(
         args.model_path, args.dataset_dir, args.batch_size,
         args.in_channels, args.model_type, args.init_features,

@@ -108,3 +108,12 @@ def test_validators():
         validate_training_config({"batch_size": 500})
     with pytest.raises(ConfigValidationError, match="learning_rate"):
         validate_training_config({"learning_rate": 2.0})
+
+
+def test_shipped_dp_tp_config_parses():
+    from rfi_toolbox_tpu.config import ConfigLoader
+
+    tc = ConfigLoader.load_training("configs/training/unet_dp_tp.yaml")
+    assert tc.mesh_shape == (4, 2)
+    assert tc.model_type == "unet_bigger"
+    assert tc.batch_size == 64

@@ -97,3 +97,16 @@ def test_pretrained_sololite_quality_gate():
                                 iou_thresh=0.5, score_thresh=0.3)
     assert q["n_gt"] > 40  # the held-out set is non-trivial
     assert q["recall"] >= 0.7, q
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not WEIGHTS.exists(), reason="weights not present")
+def test_evaluate_instance_cli(capsys):
+    from rfi_toolbox_tpu.cli.evaluate_model import main as eval_main
+
+    results = eval_main([
+        "--model_path", str(WEIGHTS), "--instance",
+        "--num_images", "4", "--batch_size", "4",
+    ])
+    assert 0.0 <= results["recall"] <= 1.0
+    assert "Instance Evaluation" in capsys.readouterr().out
