@@ -153,3 +153,27 @@ def test_train_cli_streaming_flag(tmp_path):
         "--init_features", "4", "--compute_dtype", "float32",
     ])
     assert result["epochs_run"] == 1
+
+
+def test_streaming_early_abort_no_deadlock(tmp_path):
+    """Breaking out of iter_epoch mid-stream must not leak a blocked
+    producer thread or deadlock subsequent epochs."""
+    import threading
+
+    _write_batches(tmp_path / "ds")
+    sd = StreamingDataset(tmp_path / "ds")
+    before = threading.active_count()
+    it = sd.iter_epoch(batch_size=4)
+    next(it)
+    it.close()  # triggers GeneratorExit inside the loop
+    # a fresh full epoch still works after the abort
+    n = sum(1 for _ in sd.iter_epoch(batch_size=4))
+    assert n == 6
+    # give the daemon producer a moment to drain, then check for leaks
+    import time as _time
+
+    for _ in range(50):
+        if threading.active_count() <= before + 1:
+            break
+        _time.sleep(0.1)
+    assert threading.active_count() <= before + 1
