@@ -13,9 +13,13 @@ and dW accumulates batched contractions across the grid (the dW output
 block is revisited by every program — sequential on TPU — with a
 first-iteration zero-init).
 
-Status: parity-exact vs ``lax.conv_general_dilated`` (tests), offered
-as an opt-in (``models.unet`` keeps XLA convs by default — XLA's conv
-emitter is already heavily tuned for TPU).
+Status: parity-exact vs ``lax.conv_general_dilated`` (tests; maxerr
+~1e-6 on TPU). Measured on v5e (2026-08-17, (16,64,64,32)->32): this
+kernel 4.0 ms vs XLA conv 2.1 ms — XLA's conv emitter pipelines HBM<->
+VMEM tiling that this whole-image-resident formulation cannot, so
+``models.unet`` deliberately keeps XLA convs and this stays a
+reference/opt-in kernel (the fused wins live where XLA fuses poorly:
+ops/fused_channels.py, ops/mad_flags.py).
 
 VMEM shape constraint: TPU tiles the trailing (sublane, lane) dims to
 (8, 128), so a channel count below 128 is lane-padded 128/Ci-fold in
