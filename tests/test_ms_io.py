@@ -176,3 +176,39 @@ def test_end_to_end_ms_inference_roundtrip():
     loader.save_flags(flags)
     back = loader.load_flags()
     np.testing.assert_array_equal(back, flags)
+
+
+def test_load_time_major_row_order():
+    """Real MSes store rows time-major (all baselines per integration,
+    interleaved) — FakeMS is baseline-major, which would hide a grouping
+    bug in the bulk per-SPW loader. Reorder the rows time-major and
+    check load()/load_flags()/save_flags() still produce exactly the
+    per-baseline-query results."""
+    ms = make_fake_ms(num_antennas=4, channels_per_spw=(8, 8), num_times=5,
+                      seed=3, skip_baselines=[(1, 2)])
+    # time-major: sort rows by (FIELD, SPW, TIME, A1, A2)
+    ms.rows.sort(key=lambda r: (r["FIELD_ID"], r["DATA_DESC_ID"], r["TIME"],
+                                r["ANTENNA1"], r["ANTENNA2"]))
+
+    loader = MSLoader(ms)
+    data = loader.load()
+    assert loader.antenna_baseline_map == [
+        (0, 1), (0, 2), (0, 3), (1, 3), (2, 3)
+    ]
+    # every baseline x SPW block equals the targeted query's columns
+    for b, (a1, a2) in enumerate(loader.antenna_baseline_map):
+        for spw_idx, spw in enumerate(loader.spw_list):
+            sub = ms.table().query(
+                f"DATA_DESC_ID=={spw} && ANTENNA1=={a1} && ANTENNA2=={a2}"
+            )
+            np.testing.assert_array_equal(
+                data[b, :, spw_idx * 8 : (spw_idx + 1) * 8, :],
+                sub.getcol("DATA"),
+            )
+
+    # flags round trip through the bulk read-modify-write path
+    flags = np.zeros_like(data, dtype=bool)
+    flags[2, 1, 3, :] = True
+    loader.save_flags(flags)
+    back = loader.load_flags()
+    np.testing.assert_array_equal(back, flags)
