@@ -131,6 +131,16 @@ def _as_stream(dataset):
     return None
 
 
+def _load_if_file(dataset):
+    """A path to a single .npz/.pt dataset file loads in-memory; batch
+    directories and in-memory datasets pass through untouched."""
+    if isinstance(dataset, (str, Path)) and Path(dataset).is_file():
+        from ..data.batched_dataset import ArrayDataset
+
+        return ArrayDataset.load_from_disk(dataset)
+    return dataset
+
+
 class Trainer:
     """Segmentation model trainer with sharded data parallelism.
 
@@ -290,6 +300,9 @@ class Trainer:
         RAM, which is how the reference's 4000 x 1024^2 flagship config
         (synthetic_train_4k.yaml) trains on a normal host.
         """
+        train_dataset = _load_if_file(train_dataset)
+        val_dataset = _load_if_file(val_dataset) if val_dataset is not None \
+            else None
         train_stream = _as_stream(train_dataset)
         if train_stream is not None:
             input_shape = tuple(train_stream.image_shape)

@@ -177,3 +177,26 @@ def test_streaming_early_abort_no_deadlock(tmp_path):
             break
         _time.sleep(0.1)
     assert threading.active_count() <= before + 1
+
+
+def test_trainer_fit_from_single_npz_file(tmp_path):
+    """A path to ONE .npz dataset file (ArrayDataset.save_to_disk
+    output) trains in-memory — path arguments cover both layouts."""
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import Trainer
+
+    rng = np.random.default_rng(4)
+    ds = ArrayDataset(
+        rng.normal(size=(8, 16, 16, 3)).astype(np.float32),
+        (rng.random((8, 16, 16)) > 0.7).astype(np.uint8),
+    )
+    ds.save_to_disk(tmp_path / "train.npz")
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    result = Trainer(model).fit(
+        str(tmp_path / "train.npz"), num_epochs=1, batch_size=4
+    )
+    assert result["epochs_run"] == 1
+    assert np.isfinite(result["history"][0]["train_loss"])
