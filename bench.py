@@ -309,6 +309,32 @@ def bench_instance64():
     }))
 
 
+def bench_serving():
+    """Serving path: AOT-compiled UNet predictor (pretrained snapshot),
+    steady-state throughput + p50 request latency at batch 32."""
+    from rfi_toolbox_tpu.serving import CompiledPredictor
+
+    rng = np.random.default_rng(0)
+    pred = CompiledPredictor.from_snapshot(
+        "pretrained/unet16_synthetic.npz", batch_size=32,
+    )
+    x = rng.normal(size=(32, 128, 128, 3)).astype(np.float32)
+    pred(x)  # warm transfer path (compile already happened in __init__)
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        pred(x)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    print(json.dumps({
+        "metric": "serving_patches_per_sec",
+        "value": round(32 / p50, 1),
+        "unit": "patches/s (AOT UNet16, batch 32, incl. host<->device)",
+        "p50_batch_latency_ms": round(p50 * 1e3, 2),
+    }))
+
+
 def bench_ms_roundtrip():
     """BASELINE config 5: MSLoader -> fused preprocess -> MAD inference
     -> save_flags, visibilities/sec through the full round trip (FakeMS
@@ -341,6 +367,7 @@ if __name__ == "__main__":
         "instance64": "bench_instance64",
         "ms_roundtrip": "bench_ms_roundtrip",
         "fourpol": "bench_fourpol",
+        "serving": "bench_serving",
     }
     _enable_cache()
     if len(sys.argv) > 1 and sys.argv[1] in configs:
