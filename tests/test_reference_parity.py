@@ -242,3 +242,53 @@ def test_nonsquare_rotation_patchify_matches_reference(rng):
                                   np.asarray(ref_ds.labels))
     np.testing.assert_allclose(np.asarray(ours.images),
                                np.asarray(ref_ds.images), atol=2e-4)
+
+
+def test_inference_mode_matches_reference(rng):
+    """inference_mode (the flagging path's configuration): no blank
+    removal, no shuffle, dummy zero labels — patch ORDER must be
+    deterministic and identical to the reference's."""
+    from rfi_toolbox.preprocessing import Preprocessor as RefPreprocessor
+
+    from rfi_toolbox_tpu.preprocess import Preprocessor
+
+    vis, _ = _complex_waterfall(rng)
+    np.random.seed(5)
+    ref_ds = RefPreprocessor(vis.copy()).create_dataset(
+        patch_size=128, use_custom_flags=False, inference_mode=True,
+        num_workers=0, augmentation_rotations=1,
+    )
+    np.random.seed(5)
+    ours = Preprocessor(vis).create_dataset(
+        patch_size=128, use_custom_flags=False, inference_mode=True,
+        augmentation_rotations=1, seed=None, use_pallas=False,
+    )
+    assert np.asarray(ours.labels).sum() == 0
+    np.testing.assert_array_equal(np.asarray(ours.labels),
+                                  np.asarray(ref_ds.labels))
+    np.testing.assert_allclose(np.asarray(ours.images),
+                               np.asarray(ref_ds.images), atol=2e-4)
+
+
+def test_log10_stretch_path_matches_reference(rng):
+    from rfi_toolbox.preprocessing import Preprocessor as RefPreprocessor
+
+    from rfi_toolbox_tpu.preprocess import Preprocessor
+
+    data = rng.uniform(1.0, 100.0, (1, 1, 256, 256)).astype(np.float32)
+    np.random.seed(11)
+    ref_ds = RefPreprocessor(data.copy()).create_dataset(
+        patch_size=128, stretch="LOG10", use_custom_flags=False,
+        normalize_before_stretch=False, normalize_after_stretch=True,
+        num_workers=0, augmentation_rotations=2,
+    )
+    np.random.seed(11)
+    ours = Preprocessor(data).create_dataset(
+        patch_size=128, stretch="LOG10", use_custom_flags=False,
+        normalize_before_stretch=False, normalize_after_stretch=True,
+        augmentation_rotations=2, seed=None, use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ours.labels),
+                                  np.asarray(ref_ds.labels))
+    np.testing.assert_allclose(np.asarray(ours.images),
+                               np.asarray(ref_ds.images), atol=2e-4)
