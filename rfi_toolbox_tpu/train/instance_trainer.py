@@ -190,6 +190,43 @@ class InstanceTrainer:
             for i in range(len(images))
         ]
 
+    def save_checkpoint(self, path, step=0):
+        """Full training checkpoint (params + opt_state + step) via
+        Orbax — crash-resumable long runs, unlike :meth:`save` which
+        strips the optimizer for shipping."""
+        import orbax.checkpoint as ocp
+
+        from pathlib import Path
+
+        if self.params is None:
+            raise ValueError("nothing to checkpoint; train or _init first")
+        tree = {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "step": int(step),
+        }
+        ocp.PyTreeCheckpointer().save(Path(path).absolute(), tree, force=True)
+        return path
+
+    def restore_checkpoint(self, path):
+        """Restore params/opt_state saved by :meth:`save_checkpoint`;
+        returns the stored step. The optimizer state pytree is rebuilt
+        against a freshly-initialized structure (Orbax returns lists
+        for tuples)."""
+        import orbax.checkpoint as ocp
+
+        from pathlib import Path
+
+        tree = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+        if self.params is None:
+            self._init()
+        _, treedef = jax.tree.flatten(self.opt_state)
+        self.opt_state = jax.tree.unflatten(
+            treedef, jax.tree.leaves(tree["opt_state"])
+        )
+        self.params = tree["params"]
+        return int(tree.get("step", 0))
+
     def save(self, path):
         """Export an inference snapshot (params + config metadata) via
         :func:`rfi_toolbox_tpu.train.export_params`."""

@@ -188,3 +188,28 @@ def test_instance_trainer_save_load(tmp_path, rng):
     d1 = t1.predict(images)[0]
     d2 = t2.predict(images)[0]
     np.testing.assert_allclose(d1["scores"], d2["scores"], atol=1e-6)
+
+
+def test_instance_trainer_checkpoint_resume(tmp_path):
+    """Full Orbax checkpoint: params AND optimizer state survive, so a
+    resumed run continues the same trajectory (adam moments intact)."""
+    import numpy as np
+
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    kw = dict(patch_size=32, batch_size=2, seed=0, learning_rate=1e-3)
+    t1 = InstanceTrainer(**kw)
+    t1.fit(num_steps=6, log_every=6)
+    step = t1.save_checkpoint(tmp_path / "ck", step=6)
+    r_cont = t1.fit(num_steps=4, log_every=4)
+
+    t2 = InstanceTrainer(**kw)
+    restored = t2.restore_checkpoint(tmp_path / "ck")
+    assert restored == 6
+    r_resumed = t2.fit(num_steps=4, log_every=4)
+
+    # identical data stream (same seed) + identical state -> identical loss
+    np.testing.assert_allclose(
+        r_resumed["history"][-1]["loss"], r_cont["history"][-1]["loss"],
+        rtol=1e-5,
+    )
