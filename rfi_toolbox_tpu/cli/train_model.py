@@ -145,6 +145,13 @@ def main(argv=None):
         train_ds = StreamingDataset(args.train_batches_dir)
         val_ds = (StreamingDataset(args.val_batches_dir)
                   if args.val_batches_dir else None)
+        if val_ds is None:
+            logging.warning(
+                "no --val_batches_dir: training WITHOUT validation "
+                "(no val loss, NaN early-stop, or best-checkpoint "
+                "selection; --val_dir applies only to the sample-dir "
+                "pipeline)"
+            )
         logging.info(
             "streaming train=%d samples from %s (%d batch files)%s",
             len(train_ds), args.train_batches_dir, len(train_ds.files),

@@ -199,19 +199,40 @@ class BatchWriter:
         return metadata
 
 
+def _batch_index(path):
+    """Numeric index from batch_NNN* names so ordering is natural
+    (plain sorted() puts batch_1000 before batch_999)."""
+    import re
+
+    m = re.search(r"batch_(\d+)", Path(path).name)
+    return (int(m.group(1)) if m else 0, Path(path).name)
+
+
 def _scan_batch_files(directory):
     """Batch files in a BatchWriter directory as a list of load units:
     single .npz/.pt paths, or (images.npy, labels.npy) pairs."""
     directory = Path(directory)
-    npy_imgs = sorted(directory.glob("batch_*.images.npy"))
+    npy_imgs = sorted(directory.glob("batch_*.images.npy"), key=_batch_index)
     if npy_imgs:
         return [
             (p, p.with_name(p.name.replace(".images.npy", ".labels.npy")))
             for p in npy_imgs
         ]
-    return sorted(directory.glob("batch_*.npz")) + sorted(
-        directory.glob("batch_*.pt")
+    return sorted(directory.glob("batch_*.npz"), key=_batch_index) + sorted(
+        directory.glob("batch_*.pt"), key=_batch_index
     )
+
+
+def _count_batch_file(unit):
+    """Sample count of one batch-file unit without holding it resident:
+    .npy reads just the header; .npz/.pt load and discard (sequential,
+    one file at a time — host RAM stays bounded)."""
+    if isinstance(unit, tuple):
+        with open(unit[0], "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        return int(shape[0])
+    return len(_load_batch_file(unit))
 
 
 def _load_batch_file(unit):
@@ -242,14 +263,13 @@ class StreamingDataset:
     ``Trainer.fit`` accepts one of these (or a directory path) directly.
     """
 
-    def __init__(self, directory, seed=0):
+    def __init__(self, directory):
         self.directory = Path(directory)
         self.files = _scan_batch_files(self.directory)
         if not self.files:
             raise FileNotFoundError(
                 f"no batch_* files under {self.directory}"
             )
-        self.seed = seed
         meta_path = self.directory / "metadata.json"
         self.metadata = (
             json.loads(meta_path.read_text()) if meta_path.exists() else {}
@@ -258,15 +278,14 @@ class StreamingDataset:
             self._num_samples = int(self.metadata["num_samples"])
             self.image_shape = tuple(self.metadata["image_shape"])
         else:
+            # no metadata.json (e.g. a reference-produced .pt dir, whose
+            # writer emits partial chunks mid-stream): count every file
+            # exactly, one at a time
             first = _load_batch_file(self.files[0])
-            per = len(first)
             self.image_shape = tuple(first.images.shape[1:])
-            last = (
-                _load_batch_file(self.files[-1])
-                if len(self.files) > 1
-                else first
+            self._num_samples = len(first) + sum(
+                _count_batch_file(u) for u in self.files[1:]
             )
-            self._num_samples = per * (len(self.files) - 1) + len(last)
         # peak number of simultaneously-resident batch files, for
         # bounded-memory assertions in tests
         self.max_resident_files = 0
@@ -331,6 +350,8 @@ class StreamingDataset:
         the samples within each file are shuffled; remainders are
         carried across file boundaries so no sample is dropped except
         (with drop_remainder) the final partial batch of the epoch.
+        A dataset smaller than ``batch_size`` yields its one partial
+        batch regardless — same semantics as the in-memory iterator.
         """
         order = (
             rng.permutation(len(self.files))
@@ -338,6 +359,7 @@ class StreamingDataset:
             else np.arange(len(self.files))
         )
         rem_i = rem_l = None
+        yielded = False
         for ds in self._iter_files(order):
             imgs, lbls = ds.images, ds.labels
             if rng is not None:
@@ -349,10 +371,15 @@ class StreamingDataset:
             n = (len(imgs) // batch_size) * batch_size
             for s in range(0, n, batch_size):
                 yield imgs[s : s + batch_size], lbls[s : s + batch_size]
+                yielded = True
             rem_i, rem_l = (
                 (imgs[n:].copy(), lbls[n:].copy()) if n < len(imgs) else (None, None)
             )
-        if rem_i is not None and len(rem_i) and not drop_remainder:
+        if rem_i is not None and len(rem_i) and (not drop_remainder
+                                                 or not yielded):
+            # same semantics as the in-memory iterator: a dataset
+            # smaller than batch_size still yields its one partial
+            # batch rather than training on nothing
             yield rem_i, rem_l
 
 

@@ -73,9 +73,11 @@ def flag_waterfalls(
         use_pallas = jax.default_backend() != "cpu"
     flat = to_device(waterfalls)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+        # shard_batch replicates when M does not divide the axis
+        # (15 baselines on an 8-chip mesh must not crash)
+        from ..parallel.mesh import shard_batch
 
-        flat = jax.device_put(flat, NamedSharding(mesh, PartitionSpec("data")))
+        flat = shard_batch(flat, mesh)
     if flat.ndim != 3:
         raise ValueError(f"Expected (M, C, T) waterfalls, got {flat.shape}")
     m, c, t = flat.shape
@@ -147,7 +149,25 @@ def flag_measurement_set(
     """
     loader = MSLoader(ms, field_id=field_id)
     if not streaming:
-        data = loader.load(num_antennas=num_antennas, mode=mode)
+        try:
+            data = loader.load(num_antennas=num_antennas, mode=mode)
+        except ValueError as e:
+            # ragged observation (e.g. an antenna offline for part of
+            # the run -> a baseline with missing integrations): the
+            # bulk layout can't hold it; degrade to the per-baseline
+            # streaming path, which captures bad baselines in 'failed'
+            logger.warning(
+                "bulk load failed (%s); falling back to per-baseline "
+                "streaming", e,
+            )
+            loader.close()
+            return flag_measurement_set(
+                ms, method=method, sigma=sigma, patch_size=patch_size,
+                predictor=predictor, threshold=threshold,
+                num_antennas=num_antennas, mode=mode, field_id=field_id,
+                merge_existing=merge_existing, use_pallas=use_pallas,
+                streaming=True, mesh=mesh,
+            )
         if len(data) == 0:
             loader.close()
             return {"baselines": 0, "flagged_fraction": 0.0, "failed": []}

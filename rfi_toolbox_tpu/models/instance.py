@@ -254,6 +254,7 @@ def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
     # cells per image, then build just those candidate masks
     k = s * s
     flat_idx = mask_idx.reshape(b, k)
+    total_positive = (flat_idx >= 0).sum()
     if max_positive_cells is not None and max_positive_cells < k:
         p = int(max_positive_cells)
         order = jnp.argsort(
@@ -298,7 +299,15 @@ def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
     mask_loss = (dice * positive).sum() / jnp.maximum(positive.sum(), 1)
 
     total = cate_loss + mask_weight * mask_loss
-    return total, {"cate_loss": cate_loss, "mask_loss": mask_loss}
+    # cells beyond the max_positive_cells cap receive no mask gradient;
+    # report the count so dense custom configs see the truncation
+    # instead of silently under-training (pick a larger cap if nonzero)
+    dropped = (total_positive - positive.sum()).astype(jnp.int32)
+    return total, {
+        "cate_loss": cate_loss,
+        "mask_loss": mask_loss,
+        "dropped_mask_cells": dropped,
+    }
 
 
 # ---------------------------------------------------------------------------

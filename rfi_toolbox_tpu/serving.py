@@ -49,8 +49,12 @@ class CompiledPredictor:
         spec = jax.ShapeDtypeStruct(
             (self.batch_size, *self.input_shape), jnp.float32
         )
+        # dtype without jnp.asarray: reading .dtype must not device-
+        # transfer the whole weight tree a second time
         var_spec = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype),
+            lambda a: jax.ShapeDtypeStruct(
+                np.shape(a), getattr(a, "dtype", None) or jnp.result_type(a)
+            ),
             variables,
         )
         self._variables = jax.tree.map(jnp.asarray, variables)

@@ -162,13 +162,17 @@ class InstanceTrainer:
             if (step_i + 1) % log_every == 0 or step_i == num_steps - 1:
                 jax.block_until_ready(loss)
                 dt = time.perf_counter() - t0
-                history.append({
+                rec = {
                     "step": step_i + 1,
                     "loss": float(loss),
                     "cate_loss": float(parts["cate_loss"]),
                     "mask_loss": float(parts["mask_loss"]),
                     "steps_per_sec": (step_i + 1) / dt,
-                })
+                }
+                dropped = int(parts.get("dropped_mask_cells", 0))
+                if dropped:
+                    rec["dropped_mask_cells"] = dropped
+                history.append(rec)
         return {"history": history}
 
     def predict(self, images, score_thresh=0.3, full_resolution=True):

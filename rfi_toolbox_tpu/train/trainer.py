@@ -373,6 +373,10 @@ class Trainer:
                     val_losses.append(loss)
                     m = evaluate_segmentation_batch(preds, bl > 0.5)
                     metrics_acc.append({k: float(v.mean()) for k, v in m.items()})
+                if not val_losses:
+                    raise ValueError(
+                        "validation dataset produced no batches"
+                    )
                 val_loss = float(jnp.mean(jnp.stack(val_losses)))
                 record["val_loss"] = val_loss
                 for k in metrics_acc[0]:

@@ -161,3 +161,44 @@ def test_flag_measurement_set_sharded_mesh(rng):
     l1, l2 = MSLoader(ms1), MSLoader(ms2)
     l1.load(); l2.load()
     np.testing.assert_array_equal(l1.load_flags(), l2.load_flags())
+
+
+def test_flag_waterfalls_mesh_non_divisible(rng):
+    """Plane counts that don't divide the mesh axis replicate instead
+    of crashing (15 baselines on an 8-chip mesh is normal)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ devices")
+    from rfi_toolbox_tpu.parallel import make_mesh
+
+    mesh = make_mesh(shape=(2,), axis_names=("data",),
+                     devices=jax.devices()[:2])
+    vis = (rng.normal(1.0, 0.1, (3, 64, 64))).astype(np.complex64)  # 3 % 2 != 0
+    f_plain = np.asarray(flag_waterfalls(vis, method="mad", sigma=5.0,
+                                         patch_size=64))
+    f_mesh = np.asarray(flag_waterfalls(vis, method="mad", sigma=5.0,
+                                        patch_size=64, mesh=mesh))
+    np.testing.assert_array_equal(f_plain, f_mesh)
+
+
+def test_flag_measurement_set_ragged_falls_back_to_streaming(rng, caplog):
+    """An MS with a baseline missing integrations (antenna offline mid-
+    observation) can't use the bulk layout; the default path must
+    degrade to per-baseline streaming and still flag everything."""
+    import logging
+
+    ms, _ = _rfi_ms(rng, nchan=32, ntime=32)
+    t0 = min(r["TIME"] for r in ms.rows)
+    # baseline (0, 1) loses its last 8 integrations
+    ms.rows = [
+        r for r in ms.rows
+        if not (r["ANTENNA1"] == 0 and r["ANTENNA2"] == 1
+                and r["TIME"] >= t0 + 24)
+    ]
+    with caplog.at_level(logging.WARNING, logger="rfi_toolbox_tpu.io.flagging"):
+        result = flag_measurement_set(ms, method="mad", sigma=5.0,
+                                      patch_size=32)
+    assert any("falling back" in r.message for r in caplog.records)
+    assert result["baselines"] == 3  # ragged baseline still flagged
+    assert result["failed"] == []

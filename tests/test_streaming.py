@@ -200,3 +200,54 @@ def test_trainer_fit_from_single_npz_file(tmp_path):
     )
     assert result["epochs_run"] == 1
     assert np.isfinite(result["history"][0]["train_loss"])
+
+
+def test_streaming_smaller_than_batch_yields_partial(tmp_path):
+    """A streamed dataset smaller than batch_size must behave like the
+    in-memory iterator: one partial batch, not zero batches."""
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import Trainer
+
+    _write_batches(tmp_path / "ds", n=3, per_file=2)
+    sd = StreamingDataset(tmp_path / "ds")
+    batches = list(sd.iter_epoch(batch_size=8))
+    assert len(batches) == 1 and len(batches[0][0]) == 3
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    result = Trainer(model).fit(sd, num_epochs=1, batch_size=8)
+    assert np.isfinite(result["history"][0]["train_loss"])
+
+
+def test_streaming_natural_file_order(tmp_path):
+    """batch_1000 must sort after batch_999 (plain lexicographic order
+    breaks past 999 files)."""
+    from rfi_toolbox_tpu.data.batched_dataset import _scan_batch_files
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    for idx in (999, 1000, 7):
+        np.savez(d / f"batch_{idx:03d}.npz",
+                 images=np.zeros((1, 4, 4, 3), np.float32),
+                 labels=np.zeros((1, 4, 4), np.uint8))
+    names = [p.name for p in _scan_batch_files(d)]
+    assert names == ["batch_007.npz", "batch_999.npz", "batch_1000.npz"]
+
+
+def test_streaming_counts_pt_dir_with_partial_chunks(tmp_path):
+    """Reference-produced .pt dirs have no metadata.json and may hold
+    partial chunks mid-stream; len() must count every file exactly."""
+    torch = pytest.importorskip("torch")
+    d = tmp_path / "ds"
+    d.mkdir()
+    for idx, n in enumerate((4, 2, 4)):  # partial chunk in the middle
+        torch.save(
+            {"images": torch.zeros((n, 4, 4, 3)),
+             "labels": torch.zeros((n, 4, 4), dtype=torch.uint8)},
+            d / f"batch_{idx:03d}.pt",
+        )
+    sd = StreamingDataset(d)
+    assert len(sd) == 10
+    total = sum(len(b) for b, _ in sd.iter_epoch(2))
+    assert total == 10
