@@ -77,3 +77,15 @@ def test_tensor_parallel_sharding_rule():
     assert all(s is None for s in specs["odd"])
     # every array lives on all 8 devices
     assert all(len(v.sharding.device_set) == 8 for v in sharded.values())
+
+
+def test_trace_writes_profile(tmp_path):
+    """jax.profiler trace context actually produces trace artifacts."""
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.utils import trace
+
+    with trace(tmp_path / "tr"):
+        jnp.arange(128).sum().block_until_ready()
+    written = list((tmp_path / "tr").rglob("*"))
+    assert any(p.is_file() for p in written), written
