@@ -79,3 +79,44 @@ def test_pretrained_sololite_detects(rng):
     dets = trainer.predict(np.asarray(images), score_thresh=0.25)
     # the pretrained detector finds instances in synthetic patches
     assert any((d["scores"] > 0.25).sum() > 0 for d in dets)
+
+
+WEIGHTS_8CH = Path(__file__).parent.parent / "pretrained" / "unet16_coherent8ch.npz"
+
+
+@pytest.mark.skipif(not WEIGHTS_8CH.exists(), reason="weights not present")
+def test_pretrained_8ch_coherent_unet(rng):
+    """The 8-channel UNet (coherent-phase pipeline, robust_scale
+    normalization) flags fresh simulator output well above chance."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.evaluation import evaluate_segmentation
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.synth.simulator import RFISimulator
+    from rfi_toolbox_tpu.train import load_params
+
+    params, batch_stats, meta = load_params(WEIGHTS_8CH)
+    assert meta["in_channels"] == 8
+    assert meta["normalization"] == "robust_scale"
+    model = UNet(init_features=meta["init_features"])
+
+    sim = RFISimulator(time_bins=128, freq_bins=128, seed=7)
+    tf, mask = jax.vmap(sim.generate_rfi_device)(
+        jax.random.split(jax.random.key(123), 2)
+    )
+    x = jnp.stack(
+        [tf[:, 0].real, tf[:, 0].imag, tf[:, 1].real, tf[:, 1].imag,
+         tf[:, 2].real, tf[:, 2].imag, tf[:, 3].real, tf[:, 3].imag],
+        axis=-1,
+    )
+    med = jnp.median(x)
+    iqr = jnp.percentile(x, 75) - jnp.percentile(x, 25)
+    x = ((x - med) / jnp.maximum(iqr, 1e-12)).astype(jnp.float32)
+
+    logits = model.apply({"params": params, "batch_stats": batch_stats},
+                         x, train=False)
+    th = float(meta.get("best_threshold", 0.5))
+    preds = np.asarray(jax.nn.sigmoid(logits[..., 0]) > th)
+    m = evaluate_segmentation(preds, np.asarray(mask))
+    assert m["iou"] > 0.5, m
