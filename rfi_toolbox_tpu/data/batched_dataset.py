@@ -228,10 +228,9 @@ def _count_batch_file(unit):
     .npy reads just the header; .npz/.pt load and discard (sequential,
     one file at a time — host RAM stays bounded)."""
     if isinstance(unit, tuple):
-        with open(unit[0], "rb") as f:
-            version = np.lib.format.read_magic(f)
-            shape, _, _ = np.lib.format._read_array_header(f, version)
-        return int(shape[0])
+        # header-only read via the public memmap API (the private
+        # _read_array_header signature has churned across numpy releases)
+        return int(np.load(unit[0], mmap_mode="r").shape[0])
     return len(_load_batch_file(unit))
 
 
@@ -286,9 +285,15 @@ class StreamingDataset:
             self._num_samples = len(first) + sum(
                 _count_batch_file(u) for u in self.files[1:]
             )
-        # peak number of simultaneously-resident batch files, for
-        # bounded-memory assertions in tests
+        # peak number of simultaneously-resident batch files in the
+        # load pipeline (loaded but not yet consumed), for
+        # bounded-memory assertions in tests. The shuffle pool (see
+        # iter_epoch) is bounded separately by pool_peak_files.
         self.max_resident_files = 0
+        self.pool_peak_files = 0
+        # 'native' when the C++ fastio prefetcher carried the last
+        # epoch's .npy reads, 'python' for the thread fallback
+        self.last_reader = None
         self._resident = 0
         self._lock = threading.Lock()
 
@@ -303,9 +308,38 @@ class StreamingDataset:
             )
 
     def _iter_files(self, order):
-        """Yield ArrayDatasets in ``order`` through a 1-deep prefetch
-        queue; caller must consume fully (generator close stops the
-        producer via the queue going out of scope)."""
+        """Yield ArrayDatasets in ``order`` through a prefetch pipeline:
+        the C++ fastio reader for .npy batch dirs when it builds (VERDICT
+        round-2 #6 — the native reader IS the training path), else a
+        1-deep Python prefetch thread. Caller may close the generator
+        mid-stream; both producers shut down cleanly."""
+        if self.files and isinstance(self.files[0], tuple):
+            from ..native.fastio import fastio_available
+
+            if fastio_available():
+                yield from self._iter_files_native(order)
+                return
+        self.last_reader = "python"
+        yield from self._iter_files_python(order)
+
+    def _iter_files_native(self, order):
+        """Native path: one FastNpyReader over the epoch's interleaved
+        (images, labels) paths; its queue_depth=4 bounds producer-side
+        residency to 2 batch-file pairs beyond the one in hand."""
+        from ..native.fastio import FastNpyReader
+
+        self.last_reader = "native"
+        paths = [p for i in order for p in self.files[i]]
+        with FastNpyReader(paths, n_threads=2, queue_depth=4) as reader:
+            it = iter(reader)
+            for _ in order:
+                images = next(it)
+                labels = next(it)
+                self._track(+1)
+                yield ArrayDataset(images, labels)
+                self._track(-1)
+
+    def _iter_files_python(self, order):
         q = queue.Queue(maxsize=1)
         stop = threading.Event()
         SENTINEL = object()
@@ -344,15 +378,31 @@ class StreamingDataset:
                 ):
                     self._track(-1)
 
-    def iter_epoch(self, batch_size, rng=None, drop_remainder=True):
+    def iter_epoch(self, batch_size, rng=None, drop_remainder=True,
+                   shuffle_buffer_files=4):
         """Yield (images, labels) minibatches of exactly ``batch_size``
-        (static shapes for jit). With ``rng``, both the file order and
-        the samples within each file are shuffled; remainders are
-        carried across file boundaries so no sample is dropped except
-        (with drop_remainder) the final partial batch of the epoch.
-        A dataset smaller than ``batch_size`` yields its one partial
-        batch regardless — same semantics as the in-memory iterator.
+        (static shapes for jit). With ``rng``, shuffling is GLOBAL-ish:
+        beyond shuffled file order and within-file permutation, samples
+        pass through a ``shuffle_buffer_files``-file pool that is
+        re-permuted on every refill, so one minibatch mixes samples
+        from up to k non-adjacent files (the reference's DataLoader
+        shuffles the whole dataset, scripts/train_model.py:106-107;
+        with only file+within-file shuffling every minibatch drew from
+        <=2 adjacent files). Pool memory is bounded by ~(k+1) files'
+        samples (tracked in ``pool_peak_files``) on top of the load
+        pipeline's bound (``max_resident_files``).
+
+        Remainders carry across file boundaries so no sample is dropped
+        except (with drop_remainder) the final partial batch of the
+        epoch. A dataset smaller than ``batch_size`` yields its one
+        partial batch regardless — same semantics as the in-memory
+        iterator.
         """
+        if rng is not None and shuffle_buffer_files > 1 and len(self.files) > 1:
+            yield from self._iter_epoch_pooled(
+                batch_size, rng, drop_remainder, shuffle_buffer_files
+            )
+            return
         order = (
             rng.permutation(len(self.files))
             if rng is not None
@@ -381,6 +431,60 @@ class StreamingDataset:
             # smaller than batch_size still yields its one partial
             # batch rather than training on nothing
             yield rem_i, rem_l
+
+    def _iter_epoch_pooled(self, batch_size, rng, drop_remainder,
+                           shuffle_buffer_files):
+        """k-file shuffle-pool epoch: fill a sample pool from up to k
+        files, permute the whole pool on every refill, and serve
+        minibatches from a cursor (compaction — dropping consumed rows —
+        happens once per refill, not per batch)."""
+        per_file = max(_count_batch_file(self.files[0]), 1)
+        k = min(int(shuffle_buffer_files), len(self.files))
+        target = k * per_file
+        files_it = self._iter_files(rng.permutation(len(self.files)))
+        exhausted = False
+        pool_i = pool_l = None
+        cursor = 0
+        yielded = False
+        try:
+            while True:
+                # refill + re-permute while below the k-file target
+                while not exhausted and (
+                    pool_i is None or len(pool_i) - cursor < target
+                ):
+                    ds = next(files_it, None)
+                    if ds is None:
+                        exhausted = True
+                        break
+                    if pool_i is None:
+                        pool_i, pool_l = ds.images, ds.labels
+                    else:
+                        pool_i = np.concatenate([pool_i[cursor:], ds.images])
+                        pool_l = np.concatenate([pool_l[cursor:], ds.labels])
+                    cursor = 0
+                    p = rng.permutation(len(pool_i))
+                    pool_i, pool_l = pool_i[p], pool_l[p]
+                    with self._lock:
+                        self.pool_peak_files = max(
+                            self.pool_peak_files,
+                            -(-len(pool_i) // per_file),
+                        )
+                if pool_i is None:
+                    return
+                remaining = len(pool_i) - cursor
+                if remaining >= batch_size:
+                    yield (
+                        pool_i[cursor : cursor + batch_size],
+                        pool_l[cursor : cursor + batch_size],
+                    )
+                    yielded = True
+                    cursor += batch_size
+                    continue
+                if remaining and (not drop_remainder or not yielded):
+                    yield pool_i[cursor:], pool_l[cursor:]
+                return
+        finally:
+            files_it.close()
 
 
 def load_batches(directory, prefetch=True):

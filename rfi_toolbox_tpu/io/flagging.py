@@ -235,7 +235,9 @@ def flag_measurement_set(
         if data is None or data.shape[-1] == 0:
             continue
 
-        # (4, C, T) complex128 -> device complex64 pipeline
+        # (4, C, T) complex128 -> device complex64 pipeline; the mesh
+        # shards the 4-pol batch exactly as the bulk path does (the
+        # ragged-bulk fallback forwards mesh into this loop)
         flags = flag_waterfalls(
             data.astype(np.complex64),
             method=method,
@@ -244,6 +246,7 @@ def flag_measurement_set(
             predictor=predictor,
             threshold=threshold,
             use_pallas=use_pallas,
+            mesh=mesh,
         )
         flags_host = np.asarray(flags)
         if merge_existing:

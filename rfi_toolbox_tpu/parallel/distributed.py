@@ -33,7 +33,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     # backend, after which jax.distributed.initialize refuses to run.
     if jax.distributed.is_initialized():
         return jax.process_count() > 1
-    explicit = coordinator_address is not None
+    # any explicitly-specified topology argument means the caller asked
+    # for multi-process; a coordinator taken from env vars with only
+    # num_processes/process_id passed must fail as loudly as a full
+    # explicit spec
+    explicit = any(
+        a is not None for a in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -64,7 +64,11 @@ class CompiledPredictor:
     @classmethod
     def from_snapshot(cls, path, model=None, **kwargs):
         """Build from an ``export_params`` .npz snapshot. ``model``
-        defaults to a UNet with the snapshot's ``init_features``."""
+        defaults to a UNet with the snapshot's ``init_features``; the
+        input channel count and sigmoid threshold likewise default from
+        the snapshot metadata (``in_channels``, ``best_threshold``) so
+        e.g. the 8-channel coherent snapshot compiles the right forward
+        without the caller restating its training configuration."""
         from .train.trainer import load_params
 
         params, batch_stats, meta = load_params(path)
@@ -72,6 +76,10 @@ class CompiledPredictor:
             from .models import UNet
 
             model = UNet(init_features=int(meta.get("init_features", 32)))
+        if "input_shape" not in kwargs and "in_channels" in meta:
+            kwargs["input_shape"] = (128, 128, int(meta["in_channels"]))
+        if "threshold" not in kwargs and "best_threshold" in meta:
+            kwargs["threshold"] = float(meta["best_threshold"])
         return cls(model, params, batch_stats, **kwargs)
 
     @property

@@ -408,8 +408,10 @@ class Trainer:
     def predict(self, images, batch_size=32, threshold=0.5):
         """Binary masks for (N,H,W,C) images. The forward is a
         module-level cached jit (a per-call closure would recompile on
-        every predict), and the last partial chunk pads up to
-        batch_size so only one shape ever compiles."""
+        every predict), and EVERY partial chunk — including a whole
+        request smaller than batch_size — pads up to batch_size so only
+        one shape ever compiles (same contract as
+        ``serving.CompiledPredictor``)."""
         fwd = _predict_fwd
         images = np.asarray(images, dtype=np.float32)
         n = len(images)
@@ -417,7 +419,7 @@ class Trainer:
         for start in range(0, n, batch_size):
             chunk = images[start : start + batch_size]
             valid = len(chunk)
-            if valid < batch_size and n > batch_size:
+            if valid < batch_size:
                 pad = np.zeros((batch_size - valid, *chunk.shape[1:]),
                                chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
@@ -425,6 +427,8 @@ class Trainer:
                         jnp.asarray(chunk), self.state.apply_fn,
                         float(threshold))
             out.append(np.asarray(preds)[:valid])
+        if not out:
+            return np.zeros((0, *images.shape[1:3]), bool)
         return np.concatenate(out)
 
 

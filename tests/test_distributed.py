@@ -119,6 +119,34 @@ def test_explicit_coordinator_failure_is_loud():
     assert proc.returncode != 0, (proc.returncode, proc.stdout, proc.stderr)
 
 
+def test_partial_explicit_spec_is_also_loud():
+    """num_processes/process_id without a coordinator is still an
+    EXPLICIT multi-process request (coordinator expected from env) —
+    init failure must raise, not degrade to single-process."""
+    code = textwrap.dedent(f"""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import sys
+        sys.path.insert(0, {REPO_ROOT!r})
+        from rfi_toolbox_tpu.parallel.distributed import initialize_distributed
+        try:
+            initialize_distributed(num_processes=2, process_id=1)
+        except ValueError as e:
+            assert "coordinator_address" in str(e), e
+            print("RAISED", flush=True)
+            raise SystemExit(17)
+        print("SWALLOWED", flush=True)
+    """)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=120,
+    )
+    assert "RAISED" in proc.stdout, (proc.stdout, proc.stderr)
+    assert proc.returncode == 17, (proc.returncode, proc.stdout, proc.stderr)
+
+
 def test_autodetect_fallback_returns_false_and_warns(caplog):
     """Argument-free init in a single-process env falls back (loudly)."""
     import logging

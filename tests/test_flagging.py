@@ -141,6 +141,29 @@ def test_flag_measurement_set_streaming_matches_bulk(rng):
     np.testing.assert_array_equal(bulk_flags, flags)
 
 
+def test_flag_measurement_set_streaming_honors_mesh(rng):
+    """streaming=True must forward the mesh to the per-baseline device
+    calls (it used to be silently dropped) and still match the
+    unsharded streaming result exactly."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    from rfi_toolbox_tpu.parallel import make_mesh
+
+    ms1, _ = _rfi_ms(rng, nchan=64, ntime=64)
+    ms2 = ms1.copy()
+    mesh = make_mesh(shape=(4,), axis_names=("data",),
+                     devices=jax.devices()[:4])
+    flag_measurement_set(ms1, method="mad", sigma=5.0, patch_size=64,
+                         streaming=True)
+    flag_measurement_set(ms2, method="mad", sigma=5.0, patch_size=64,
+                         streaming=True, mesh=mesh)
+    l1, l2 = MSLoader(ms1), MSLoader(ms2)
+    l1.load(); l2.load()
+    np.testing.assert_array_equal(l1.load_flags(), l2.load_flags())
+
+
 def test_flag_measurement_set_sharded_mesh(rng):
     """One observation's baselines x pols planes spread over the 8-chip
     virtual mesh; flags must equal the single-device result exactly."""

@@ -77,3 +77,32 @@ def test_from_snapshot(tmp_path, rng):
     )
     out = pred(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
     assert out.shape == (3, 32, 32)
+
+
+def test_from_snapshot_defaults_from_metadata(tmp_path, rng):
+    """Snapshot metadata drives the compiled input channels and the
+    sigmoid threshold: loading an 8-channel snapshot (e.g.
+    unet16_coherent8ch) must not require restating its training
+    configuration."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import create_train_state, export_params
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.key(0), (1, 128, 128, 8))
+    export_params(state, tmp_path / "m8.npz",
+                  metadata={"init_features": 4, "in_channels": 8,
+                            "best_threshold": 0.3})
+    pred = CompiledPredictor.from_snapshot(tmp_path / "m8.npz", batch_size=2)
+    assert pred.input_shape == (128, 128, 8)
+    assert pred.threshold == 0.3
+    out = pred(rng.normal(size=(2, 128, 128, 8)).astype(np.float32))
+    assert out.shape == (2, 128, 128)
+    # explicit kwargs still win over metadata
+    pred2 = CompiledPredictor.from_snapshot(
+        tmp_path / "m8.npz", input_shape=(64, 64, 8), batch_size=1,
+        threshold=0.7,
+    )
+    assert pred2.input_shape == (64, 64, 8) and pred2.threshold == 0.7

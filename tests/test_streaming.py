@@ -67,6 +67,62 @@ def test_streaming_epochs_shuffle_differently(tmp_path):
     assert d1 == d2
 
 
+def test_shuffle_pool_mixes_nonadjacent_files(tmp_path):
+    """The k-file shuffle pool must put samples from >2 files into one
+    minibatch (round-2 verdict #5: file-order + within-file shuffling
+    alone draws every minibatch from <=2 adjacent files)."""
+    # 8 files x 8 samples; corner pixel encodes the file index
+    n, per_file = 64, 8
+    images = np.zeros((n, 8, 8, 3), np.float32)
+    images[:, 0, 0, 0] = np.arange(n) // per_file
+    labels = np.zeros((n, 8, 8), np.uint8)
+    w = BatchWriter(tmp_path / "ds", samples_per_batch=per_file)
+    w.add_batch(ArrayDataset(images, labels))
+    w.finalize()
+
+    sd = StreamingDataset(tmp_path / "ds")
+    rng = np.random.default_rng(3)
+    seen = []
+    mixed = 0
+    for bi, _ in sd.iter_epoch(batch_size=8, rng=rng,
+                               shuffle_buffer_files=4):
+        fids = set(bi[:, 0, 0, 0].astype(int).tolist())
+        mixed = max(mixed, len(fids))
+        seen.extend(bi[:, 0, 0, 0].tolist())
+    assert mixed >= 3  # impossible under 2-adjacent-file shuffling
+    assert len(seen) == n  # still a full epoch, every sample once
+    assert sd.pool_peak_files <= 5  # pool bound: ~(k+1) files
+    assert sd.max_resident_files <= 3  # load pipeline bound unchanged
+
+    # shuffle_buffer_files=1 preserves the legacy carry-over path
+    batches = list(sd.iter_epoch(batch_size=8, rng=rng,
+                                 shuffle_buffer_files=1))
+    assert len(batches) == 8
+
+
+@pytest.mark.parametrize("fmt", ["npz", "npy"])
+def test_streaming_reader_engagement(tmp_path, fmt, monkeypatch):
+    """.npy dirs stream through the C++ fastio reader when it builds;
+    everything else (and a build failure) uses the Python thread."""
+    from rfi_toolbox_tpu.native import fastio
+
+    _write_batches(tmp_path / "ds", fmt=fmt)
+    sd = StreamingDataset(tmp_path / "ds")
+    list(sd.iter_epoch(batch_size=4))
+    if fmt == "npy" and fastio.fastio_available():
+        assert sd.last_reader == "native"
+    else:
+        assert sd.last_reader == "python"
+
+    monkeypatch.setattr(fastio, "fastio_available", lambda: False)
+    sd2 = StreamingDataset(tmp_path / "ds")
+    got = [b[:, 0, 0, 0].astype(int).tolist()
+           for b, _ in sd2.iter_epoch(batch_size=4)]
+    assert sd2.last_reader == "python"
+    flat = [i for b in got for i in b]
+    assert flat == list(range(24))  # same deterministic order either way
+
+
 def test_trainer_fit_streaming_from_directory(tmp_path):
     import jax.numpy as jnp
 
