@@ -220,9 +220,13 @@ def flag_measurement_set(
         loader.close()
         return {"baselines": 0, "flagged_fraction": 0.0, "failed": []}
 
+    from ..utils.progress import progress
+
     prefetch = threading.Thread(target=load_one, args=(pairs[0],))
     prefetch.start()
-    for idx, pair in enumerate(pairs):
+    for idx, pair in progress(
+        list(enumerate(pairs)), desc="Baselines", total=len(pairs)
+    ):
         prefetch.join()
         data = loaded.pop(pair)
         if idx + 1 < len(pairs):

@@ -212,9 +212,13 @@ class MSLoader:
         total_channels = len(same_spw_list) * num_channels
         ff = self._field_filter()
 
+        from ..utils.progress import progress
+
         per_spw = []  # (spw_idx, {(a1, a2): (pols, nchan, ntimes)})
         pair_set = set()
-        for spw_idx, spw in enumerate(same_spw_list):
+        for spw_idx, spw in progress(
+            list(enumerate(same_spw_list)), desc="Load SPW"
+        ):
             subtable = self.tb.query(f"DATA_DESC_ID=={spw}{ff}")
             if subtable.nrows() == 0:
                 subtable.close()
@@ -394,7 +398,11 @@ class MSLoader:
             [len(self.antenna_baseline_map), 4, total_channels, self.num_times],
             dtype=bool,
         )
-        for spw_idx, spw in enumerate(self.spw_list):
+        from ..utils.progress import progress
+
+        for spw_idx, spw in progress(
+            list(enumerate(self.spw_list)), desc="Load flags (SPW)"
+        ):
             subtable = self.tb.query(f"DATA_DESC_ID=={spw}{ff}")
             if subtable.nrows() == 0:
                 subtable.close()
@@ -430,7 +438,11 @@ class MSLoader:
         index = {pair: b for b, pair in enumerate(self.antenna_baseline_map)}
         flags = np.asarray(flags)
 
-        for spw_idx, spw in enumerate(self.spw_list):
+        from ..utils.progress import progress
+
+        for spw_idx, spw in progress(
+            list(enumerate(self.spw_list)), desc="Save flags (SPW)"
+        ):
             subtable = self.tb.query(f"DATA_DESC_ID=={spw}{ff}")
             if subtable.nrows() == 0:
                 subtable.close()

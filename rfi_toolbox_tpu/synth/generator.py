@@ -170,7 +170,10 @@ class SyntheticDataGenerator:
         total_patches = 0
         num_batches = (num_samples + batch_size - 1) // batch_size
 
-        for batch_idx in range(num_batches):
+        from ..utils.progress import progress
+
+        for batch_idx in progress(range(num_batches), desc="Generate",
+                                  total=num_batches):
             n = min(batch_size, num_samples - total_raw)
             key, sub = random.split(key)
             waterfalls, masks, params = batch_fn(random.split(sub, n))

@@ -11,6 +11,7 @@ from .trainer import (
     export_params,
     load_params,
     train_step,
+    train_steps,
 )
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "train_step",
+    "train_steps",
     "eval_step",
     "bce_dice_loss",
     "bce_with_logits_loss",

@@ -116,6 +116,71 @@ def test_train_step_sharded_over_mesh(rng):
     assert np.isfinite(result["history"][0]["train_loss"])
 
 
+def test_scan_fused_train_steps_match_sequential(rng):
+    """train_steps (one lax.scan program) must reproduce the exact
+    losses of S sequential train_step calls — it is the bench/serving
+    fast path, so numerics may not drift."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.train import create_train_state, train_step
+    from rfi_toolbox_tpu.train import train_steps as fused
+
+    ds = _toy_dataset(rng, n=12, size=16)
+    model = UNet(out_channels=1, init_features=4)
+    imgs = jnp.asarray(ds.images).reshape(3, 4, 16, 16, 3)
+    lbls = jnp.asarray(ds.labels, jnp.float32).reshape(3, 4, 16, 16)
+
+    state = create_train_state(model, jax.random.key(0), (1, 16, 16, 3))
+    seq_losses = []
+    for s in range(3):
+        state, loss = train_step(state, imgs[s], lbls[s])
+        seq_losses.append(float(loss))
+
+    state2 = create_train_state(model, jax.random.key(0), (1, 16, 16, 3))
+    state2, losses = fused(state2, imgs, lbls)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses,
+                               rtol=1e-6, atol=1e-7)
+    # the carried state matches too (same BN stats + params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        jax.device_get(state.params), jax.device_get(state2.params),
+    )
+
+
+def test_dp8_reproduces_single_device_losses(rng):
+    """Same data, same init: the 8-device dp step must yield the same
+    loss trajectory as the single-device step (round-2 verdict #9 —
+    the sharding changes WHERE the math runs, never WHAT it computes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.train import create_train_state, train_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    ds = _toy_dataset(rng, n=16, size=16)
+    model = UNet(out_channels=1, init_features=4)
+
+    def run(shard):
+        state = create_train_state(model, jax.random.key(0), (1, 16, 16, 3))
+        imgs = jnp.asarray(ds.images)
+        lbls = jnp.asarray(ds.labels, jnp.float32)
+        if shard:
+            mesh = make_mesh(axis_names=("data",))
+            imgs, lbls = shard_batch((np.asarray(imgs), np.asarray(lbls)),
+                                     mesh)
+        losses = []
+        for _ in range(3):
+            state, loss = train_step(state, imgs, lbls)
+            losses.append(float(loss))
+        return losses
+
+    single = run(shard=False)
+    dp8 = run(shard=True)
+    np.testing.assert_allclose(dp8, single, rtol=1e-5, atol=1e-6)
+
+
 def test_shard_batch_places_on_mesh(rng):
     mesh = make_mesh(axis_names=("data",))
     x = rng.random((16, 8, 8)).astype(np.float32)
