@@ -372,17 +372,28 @@ def bench_generate_mad_ffi():
 
 
 def bench_instance64():
-    """BASELINE config 4: SOLOLite fwd+bwd at batch 64 on 128^2 patches."""
+    """BASELINE config 4: SOLOLite fwd+bwd at batch 64 on 128^2 patches.
+
+    Uses the scan-fused path (generation + K steps per dispatch); the
+    sequential number is reported alongside for the dispatch-overhead
+    delta."""
     from rfi_toolbox_tpu.train import InstanceTrainer
 
+    K = 15
     trainer = InstanceTrainer(patch_size=128, batch_size=64, seed=0)
-    trainer.fit(num_steps=3, log_every=3)  # warmup/compile
-    res = trainer.fit(num_steps=15, log_every=15)
+    trainer.fit(num_steps=3, log_every=3)  # warmup/compile (sequential)
+    trainer.fit(num_steps=K, log_every=K, fused_steps=K)  # compile fused
+    res_seq = trainer.fit(num_steps=K, log_every=K)
+    res = trainer.fit(num_steps=3 * K, log_every=3 * K, fused_steps=K)
     sps = res["history"][-1]["steps_per_sec"]
     print(json.dumps({
         "metric": "sololite_batch64_steps_per_sec",
         "value": round(sps, 2),
         "unit": "fwd+bwd steps/s (batch 64, on-device generation included)",
+        "fused_steps": K,
+        "sequential_steps_per_sec": round(
+            res_seq["history"][-1]["steps_per_sec"], 2
+        ),
     }))
 
 

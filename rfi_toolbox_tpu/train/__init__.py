@@ -1,6 +1,10 @@
 """Training: losses, train state, trainer, checkpointing."""
 
-from .instance_trainer import InstanceTrainer, make_instance_train_step
+from .instance_trainer import (
+    InstanceTrainer,
+    make_instance_fused_steps,
+    make_instance_train_step,
+)
 from .losses import bce_dice_loss, bce_with_logits_loss, dice_loss
 from .raw_patches import RawPatchTrainer, augment_batch, make_raw_patch_step
 from .trainer import (
@@ -29,6 +33,7 @@ __all__ = [
     "make_raw_patch_step",
     "InstanceTrainer",
     "make_instance_train_step",
+    "make_instance_fused_steps",
     "export_params",
     "load_params",
 ]

@@ -20,7 +20,8 @@ from ..models.instance import SOLOLite, solo_loss
 from ..preprocess import pipeline as P
 from ..synth.sample import make_instance_sample_generator
 
-__all__ = ["InstanceTrainer", "make_instance_train_step"]
+__all__ = ["InstanceTrainer", "make_instance_train_step",
+           "make_instance_fused_steps"]
 
 
 def make_instance_train_step(model, tx, use_pallas="auto",
@@ -30,8 +31,8 @@ def make_instance_train_step(model, tx, use_pallas="auto",
     if use_pallas == "auto":
         use_pallas = jax.default_backend() != "cpu"
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, patches, inst_masks, inst_classes, inst_valid):
+    def _one_step(params, opt_state, patches, inst_masks, inst_classes,
+                  inst_valid):
         if use_pallas:
             from ..ops import fused_extract_channels
 
@@ -49,7 +50,62 @@ def make_instance_train_step(model, tx, use_pallas="auto",
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, parts
 
-    return step
+    return partial(jax.jit, donate_argnums=(0, 1))(_one_step)
+
+
+def make_instance_fused_steps(model, tx, sample_fn, batch_size,
+                              use_pallas="auto", mask_loss_stride=2):
+    """K training steps — on-device batch GENERATION included — fused
+    into one ``lax.scan`` program: (params, opt_state, keys(K,)) ->
+    (params, opt_state, losses(K,), last_parts).
+
+    One dispatch per K steps instead of two per step (generate + step);
+    over a remote-TPU control channel the round trips dominate a ~60 ms
+    step, and inside one program XLA overlaps sample generation with
+    the previous step's optimizer epilogue. Numerics are identical to
+    the sequential path given the same key sequence (asserted in
+    tests/test_instance.py).
+    """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() != "cpu"
+
+    def _one_step(params, opt_state, patches, inst_masks, inst_classes,
+                  inst_valid):
+        if use_pallas:
+            from ..ops import fused_extract_channels
+
+            images = fused_extract_channels(patches)
+        else:
+            images = P.imagenet_normalize(P.extract_channels(patches))
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, images, train=False)
+            return solo_loss(out, inst_masks, inst_classes, inst_valid,
+                             mask_loss_stride=mask_loss_stride)
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, parts
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def steps(params, opt_state, keys):
+        def body(carry, key):
+            params, opt_state = carry
+            batch = jax.vmap(sample_fn)(jax.random.split(key, batch_size))
+            params, opt_state, loss, parts = _one_step(
+                params, opt_state, batch["waterfall"], batch["inst_masks"],
+                batch["inst_classes"], batch["inst_valid"],
+            )
+            return (params, opt_state), (loss, parts)
+
+        (params, opt_state), (losses, parts) = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        last_parts = jax.tree.map(lambda a: a[-1], parts)
+        return params, opt_state, losses, last_parts
+
+    return steps
 
 
 class InstanceTrainer:
@@ -93,6 +149,7 @@ class InstanceTrainer:
         sample_fn = make_instance_sample_generator(
             patch_size, patch_size, rfi_config=rfi_config
         )
+        self._sample_fn = sample_fn
         self._batch_fn = jax.jit(
             lambda keys: jax.vmap(sample_fn)(keys)
         )
@@ -100,8 +157,11 @@ class InstanceTrainer:
             optax.clip_by_global_norm(1.0),
             optax.adamw(learning_rate, weight_decay=weight_decay),
         )
+        self._use_pallas = use_pallas
+        self._mask_loss_stride = mask_loss_stride
         self._step = make_instance_train_step(self.model, self.tx, use_pallas,
                                               mask_loss_stride=mask_loss_stride)
+        self._fused = None
         self.params = None
         self.opt_state = None
 
@@ -117,7 +177,7 @@ class InstanceTrainer:
         return batch
 
     def fit(self, num_steps=100, log_every=20, real_patches=None,
-            real_fraction=0.0):
+            real_fraction=0.0, fused_steps=1):
         """Train for ``num_steps``; optionally mix in real patches.
 
         Args:
@@ -128,6 +188,12 @@ class InstanceTrainer:
                 grid to stay silent on real noise structure).
             real_fraction: fraction of each batch drawn from
                 real_patches.
+            fused_steps: with K > 1 (and no real-patch mixing), runs K
+                steps per dispatch as ONE lax.scan program including
+                on-device generation — same key stream and numerics as
+                the sequential path, far fewer control round trips.
+                Log records then land at the first chunk boundary at or
+                after each ``log_every`` multiple.
 
         Returns:
             {'history': [{'step', 'loss', 'cate_loss', 'mask_loss',
@@ -138,41 +204,68 @@ class InstanceTrainer:
         key = jax.random.key(self.seed + 1)
         rng = np.random.default_rng(self.seed)
         history = []
-        t0 = time.perf_counter()
-        for step_i in range(num_steps):
-            key, k1 = jax.random.split(key)
-            batch = self.generate_batch(k1)
-            patches = batch["waterfall"]
-            masks = batch["inst_masks"]
-            classes = batch["inst_classes"]
-            valid = batch["inst_valid"]
-            if real_patches is not None and real_fraction > 0:
-                n_real = int(self.batch_size * real_fraction)
-                if n_real:
-                    sel = rng.integers(0, len(real_patches), n_real)
-                    from ..utils.transfer import to_device
-
-                    patches = patches.at[:n_real].set(
-                        to_device(np.ascontiguousarray(real_patches[sel]))
-                    )
-                    valid = valid.at[:n_real].set(False)
-            self.params, self.opt_state, loss, parts = self._step(
-                self.params, self.opt_state, patches, masks, classes, valid
+        use_fused = fused_steps > 1 and (
+            real_patches is None or real_fraction <= 0
+        )
+        if use_fused and self._fused is None:
+            self._fused = make_instance_fused_steps(
+                self.model, self.tx, self._sample_fn, self.batch_size,
+                self._use_pallas, self._mask_loss_stride,
             )
-            if (step_i + 1) % log_every == 0 or step_i == num_steps - 1:
-                jax.block_until_ready(loss)
-                dt = time.perf_counter() - t0
-                rec = {
-                    "step": step_i + 1,
-                    "loss": float(loss),
-                    "cate_loss": float(parts["cate_loss"]),
-                    "mask_loss": float(parts["mask_loss"]),
-                    "steps_per_sec": (step_i + 1) / dt,
-                }
-                dropped = int(parts.get("dropped_mask_cells", 0))
-                if dropped:
-                    rec["dropped_mask_cells"] = dropped
-                history.append(rec)
+
+        def log(step_i, loss, parts):
+            jax.block_until_ready(loss)
+            dt = time.perf_counter() - t0
+            rec = {
+                "step": step_i,
+                "loss": float(loss),
+                "cate_loss": float(parts["cate_loss"]),
+                "mask_loss": float(parts["mask_loss"]),
+                "steps_per_sec": step_i / dt,
+            }
+            dropped = int(parts.get("dropped_mask_cells", 0))
+            if dropped:
+                rec["dropped_mask_cells"] = dropped
+            history.append(rec)
+
+        t0 = time.perf_counter()
+        step_i = 0
+        next_log = log_every
+        while step_i < num_steps:
+            if use_fused and num_steps - step_i >= fused_steps:
+                ks = []
+                for _ in range(fused_steps):
+                    key, k1 = jax.random.split(key)
+                    ks.append(k1)
+                self.params, self.opt_state, losses, parts = self._fused(
+                    self.params, self.opt_state, jnp.stack(ks)
+                )
+                loss = losses[-1]
+                step_i += fused_steps
+            else:
+                key, k1 = jax.random.split(key)
+                batch = self.generate_batch(k1)
+                patches = batch["waterfall"]
+                masks = batch["inst_masks"]
+                classes = batch["inst_classes"]
+                valid = batch["inst_valid"]
+                if real_patches is not None and real_fraction > 0:
+                    n_real = int(self.batch_size * real_fraction)
+                    if n_real:
+                        sel = rng.integers(0, len(real_patches), n_real)
+                        from ..utils.transfer import to_device
+
+                        patches = patches.at[:n_real].set(
+                            to_device(np.ascontiguousarray(real_patches[sel]))
+                        )
+                        valid = valid.at[:n_real].set(False)
+                self.params, self.opt_state, loss, parts = self._step(
+                    self.params, self.opt_state, patches, masks, classes, valid
+                )
+                step_i += 1
+            if step_i >= next_log or step_i >= num_steps:
+                log(step_i, loss, parts)
+                next_log = (step_i // log_every + 1) * log_every
         return {"history": history}
 
     def predict(self, images, score_thresh=0.3, full_resolution=True):

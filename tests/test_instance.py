@@ -170,6 +170,35 @@ def test_instance_trainer_end_to_end(rng):
     assert dec[0]["masks"].ndim == 3
 
 
+def test_instance_trainer_fused_steps_match_sequential():
+    """fused_steps=K (generation + K optimization steps in one scan
+    program) must reproduce the sequential per-step path exactly: same
+    key stream, same losses, same params."""
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    kw = dict(model=_model(grid=8, features=8, embed=16),
+              patch_size=64, batch_size=2, seed=0, learning_rate=1e-3)
+    t_seq = InstanceTrainer(**kw)
+    r_seq = t_seq.fit(num_steps=6, log_every=6)
+
+    t_fused = InstanceTrainer(**kw)
+    r_fused = t_fused.fit(num_steps=6, log_every=6, fused_steps=3)
+
+    np.testing.assert_allclose(
+        r_fused["history"][-1]["loss"], r_seq["history"][-1]["loss"],
+        rtol=1e-5,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        jax.device_get(t_seq.params), jax.device_get(t_fused.params),
+    )
+    # remainder chunks (num_steps not a multiple of K) still work
+    r3 = t_fused.fit(num_steps=5, log_every=5, fused_steps=3)
+    assert r3["history"][-1]["step"] == 5
+
+
 def test_instance_trainer_save_load(tmp_path, rng):
     from rfi_toolbox_tpu.train import InstanceTrainer
 
