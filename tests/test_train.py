@@ -116,6 +116,21 @@ def test_train_step_sharded_over_mesh(rng):
     assert np.isfinite(result["history"][0]["train_loss"])
 
 
+def test_fit_fused_epochs_match_sequential(rng):
+    """Trainer.fit's grouped-scan epochs (fused_steps>1) must follow
+    the exact loss trajectory of the per-minibatch path, including the
+    odd-size final batch that flushes a partial group."""
+    ds = _toy_dataset(rng, n=14, size=16)  # 3 full batches of 4 + 2
+
+    def run(k):
+        model = UNet(out_channels=1, init_features=4)
+        tr = Trainer(model, learning_rate=1e-3, seed=0)
+        r = tr.fit(ds, num_epochs=2, batch_size=4, fused_steps=k)
+        return [h["train_loss"] for h in r["history"]]
+
+    np.testing.assert_allclose(run(8), run(1), rtol=1e-5)
+
+
 def test_scan_fused_train_steps_match_sequential(rng):
     """train_steps (one lax.scan program) must reproduce the exact
     losses of S sequential train_step calls — it is the bench/serving
