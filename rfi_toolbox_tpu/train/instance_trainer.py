@@ -268,11 +268,14 @@ class InstanceTrainer:
                 next_log = (step_i // log_every + 1) * log_every
         return {"history": history}
 
-    def predict(self, images, score_thresh=0.3, full_resolution=True):
+    def predict(self, images, score_thresh=0.3, full_resolution=True,
+                mask_thresh=0.5):
         """Decode instances for (N, p, p, 3) float images. Returns a
         list of per-image dicts (masks/scores/classes); masks are
         upsampled to the input resolution unless full_resolution=False
-        (the mask head runs at input/4)."""
+        (the mask head runs at input/4). ``mask_thresh`` is the sigmoid
+        cut on mask logits (lower grows masks — useful for thin
+        events)."""
         from ..models.instance import solo_decode
 
         images = jnp.asarray(images)
@@ -282,7 +285,8 @@ class InstanceTrainer:
             jax.tree.map(
                 np.asarray,
                 solo_decode(jax.tree.map(lambda a: a[i], out),
-                            score_thresh=score_thresh, out_size=out_size),
+                            score_thresh=score_thresh,
+                            mask_thresh=mask_thresh, out_size=out_size),
             )
             for i in range(len(images))
         ]

@@ -84,39 +84,78 @@ def test_pretrained_sololite_detects(rng):
 WEIGHTS_8CH = Path(__file__).parent.parent / "pretrained" / "unet16_coherent8ch.npz"
 
 
-@pytest.mark.skipif(not WEIGHTS_8CH.exists(), reason="weights not present")
-def test_pretrained_8ch_coherent_unet(rng):
-    """The 8-channel UNet (coherent-phase pipeline, robust_scale
-    normalization) flags fresh simulator output well above chance."""
+def _coherent8ch_batch(key, n, size):
+    """Simulator batch through the snapshot's documented convention:
+    8 channels = 4 pols x (re, im), PER-SAMPLE robust scale (median +
+    IQR — what normalize_rfi_data does per input.npy file)."""
     import jax
     import jax.numpy as jnp
 
+    from rfi_toolbox_tpu.synth.simulator import RFISimulator
+
+    sim = RFISimulator(time_bins=size, freq_bins=size, seed=0)
+    tf, mask = jax.vmap(sim.generate_rfi_device)(jax.random.split(key, n))
+    x = jnp.stack(
+        [tf[:, 0].real, tf[:, 0].imag, tf[:, 1].real, tf[:, 1].imag,
+         tf[:, 2].real, tf[:, 2].imag, tf[:, 3].real, tf[:, 3].imag],
+        axis=-1,
+    )
+    flat = x.reshape(n, -1)
+    med = jnp.median(flat, axis=1)
+    iqr = (jnp.percentile(flat, 75, axis=1)
+           - jnp.percentile(flat, 25, axis=1))
+    x = (x - med[:, None, None, None]) / jnp.maximum(
+        iqr[:, None, None, None], 1e-12
+    )
+    return np.asarray(x, np.float32), np.asarray(mask) > 0.5
+
+
+@pytest.mark.skipif(not WEIGHTS_8CH.exists(), reason="weights not present")
+def test_pretrained_8ch_coherent_unet(rng):
+    """Fast smoke: the 8-channel UNet flags fresh 128^2 simulator
+    output well above chance through the per-sample convention."""
+    import jax
+
     from rfi_toolbox_tpu.evaluation import evaluate_segmentation
     from rfi_toolbox_tpu.models import UNet
-    from rfi_toolbox_tpu.synth.simulator import RFISimulator
     from rfi_toolbox_tpu.train import load_params
 
     params, batch_stats, meta = load_params(WEIGHTS_8CH)
     assert meta["in_channels"] == 8
     assert meta["normalization"] == "robust_scale"
     model = UNet(init_features=meta["init_features"])
-
-    sim = RFISimulator(time_bins=128, freq_bins=128, seed=7)
-    tf, mask = jax.vmap(sim.generate_rfi_device)(
-        jax.random.split(jax.random.key(123), 2)
-    )
-    x = jnp.stack(
-        [tf[:, 0].real, tf[:, 0].imag, tf[:, 1].real, tf[:, 1].imag,
-         tf[:, 2].real, tf[:, 2].imag, tf[:, 3].real, tf[:, 3].imag],
-        axis=-1,
-    )
-    med = jnp.median(x)
-    iqr = jnp.percentile(x, 75) - jnp.percentile(x, 25)
-    x = ((x - med) / jnp.maximum(iqr, 1e-12)).astype(jnp.float32)
-
+    x, gt = _coherent8ch_batch(jax.random.key(123), 2, 128)
     logits = model.apply({"params": params, "batch_stats": batch_stats},
                          x, train=False)
     th = float(meta.get("best_threshold", 0.5))
     preds = np.asarray(jax.nn.sigmoid(logits[..., 0]) > th)
-    m = evaluate_segmentation(preds, np.asarray(mask))
+    m = evaluate_segmentation(preds, gt)
     assert m["iou"] > 0.5, m
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not WEIGHTS_8CH.exists(), reason="weights not present")
+def test_pretrained_8ch_held_out_iou_gate():
+    """Held-out IoU QUALITY GATE (round-2 verdict #3: the smoke test
+    could not catch a regressed snapshot). Evaluates at the snapshot's
+    training size and best_threshold on a fixed-seed key stream
+    disjoint from training (training uses keys from jax.random.key(2);
+    this uses key(10_000), the same held-out convention the recorded
+    0.855 was measured with). Floor 0.83 = recorded - sampling noise
+    across a 1-batch subset."""
+    import jax
+
+    from rfi_toolbox_tpu.evaluation import evaluate_segmentation
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import load_params
+
+    params, batch_stats, meta = load_params(WEIGHTS_8CH)
+    size = int(meta.get("train_size", [256, 256])[0])
+    th = float(meta.get("best_threshold", 0.5))
+    model = UNet(init_features=meta["init_features"])
+    x, gt = _coherent8ch_batch(jax.random.key(10_000), 8, size)
+    logits = model.apply({"params": params, "batch_stats": batch_stats},
+                         x, train=False)
+    probs = np.asarray(jax.nn.sigmoid(logits[..., 0]))
+    m = evaluate_segmentation(probs > th, gt)
+    assert m["iou"] >= 0.83, m
