@@ -101,6 +101,38 @@ def test_pretrained_sololite_quality_gate():
 
 @pytest.mark.slow
 @pytest.mark.skipif(not WEIGHTS.exists(), reason="weights not present")
+def test_pretrained_sololite_all_six_family_gate():
+    """Round-3 gate (VERDICT #2): across ALL SIX RFI event families the
+    shipped detector must reach recall >= 0.80 with a per-family recall
+    floor >= 0.70 and precision >= 0.70 @ IoU >= 0.5, correct class
+    required (64 fixed-seed held-out images, score threshold 0.25 as
+    recorded in the snapshot metadata / pretrained README)."""
+    from rfi_toolbox_tpu.evaluation import evaluate_instance_model
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    all6 = {
+        "narrowband_persistent": {"count": [1, 3]},
+        "broadband_persistent": {"count": [0, 2]},
+        "narrowband_intermittent": {"count": [0, 2]},
+        "narrowband_bursty": {"count": [0, 2]},
+        "broadband_bursty": {"count": [0, 1]},
+        "frequency_sweep": {"count": [0, 1]},
+    }
+    trainer = InstanceTrainer.load(WEIGHTS, batch_size=16, seed=0,
+                                   rfi_config=all6)
+    q = evaluate_instance_model(trainer, num_images=64, seed=10_000,
+                                iou_thresh=0.5, score_thresh=0.25)
+    assert q["n_gt"] > 300  # dense multi-family held-out set
+    assert q["recall"] >= 0.80, q
+    assert q["precision"] >= 0.70, q
+    per_class = q["per_class_recall"]
+    assert len(per_class) == 6, q  # every family appears in the set
+    floor = min(per_class.values())
+    assert floor >= 0.70, q
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not WEIGHTS.exists(), reason="weights not present")
 def test_evaluate_instance_cli(capsys):
     from rfi_toolbox_tpu.cli.evaluate_model import main as eval_main
 
