@@ -12,9 +12,15 @@ __all__ = ["main", "evaluate_model"]
 
 
 def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
-                   model_type="unet", init_features=32, threshold=0.5):
+                   model_type="unet", init_features=32, threshold=None,
+                   tta=False):
     """Average IoU/precision/recall/F1/Dice of a checkpoint over a
-    sample-directory dataset. Returns the metric dict."""
+    sample-directory dataset. Returns the metric dict.
+
+    For ``.npz`` snapshots, ``init_features`` and ``threshold`` default
+    from the snapshot metadata when not given (``best_threshold`` is
+    recorded by the pretrained training recipes); ``tta=True`` enables
+    flip-averaged test-time augmentation (``Trainer.predict``)."""
     import jax
 
     from rfi_toolbox_tpu.evaluation import evaluate_segmentation_batch
@@ -23,23 +29,31 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
     from .train_model import load_sample_dir_dataset
 
     ds = load_sample_dir_dataset(dataset_dir)
-    model = create_model(model_type, init_features=init_features)
-    trainer = Trainer(model)
     if str(model_path).endswith(".npz"):
         from rfi_toolbox_tpu.train import load_params
 
-        params, batch_stats, _ = load_params(model_path)
+        params, batch_stats, meta = load_params(model_path)
+        init_features = meta.get("init_features", init_features)
+        if threshold is None:
+            threshold = meta.get("best_threshold", 0.5)
+        model = create_model(model_type, init_features=init_features)
+        trainer = Trainer(model)
         trainer.state = trainer._init_state(ds.images.shape[1:])
         trainer.state = trainer.state.replace(params=params,
                                               batch_stats=batch_stats)
     else:
+        model = create_model(model_type, init_features=init_features)
+        trainer = Trainer(model)
         trainer.restore(model_path, ds.images.shape[1:])
+    if threshold is None:
+        threshold = 0.5
 
     all_metrics = []
     for start in range(0, len(ds), batch_size):
         imgs = ds.images[start : start + batch_size]
         labels = ds.labels[start : start + batch_size]
-        preds = trainer.predict(imgs, batch_size=batch_size, threshold=threshold)
+        preds = trainer.predict(imgs, batch_size=batch_size,
+                                threshold=threshold, tta=tta)
         m = evaluate_segmentation_batch(preds, labels > 0)
         all_metrics.append(jax.tree.map(lambda a: np.asarray(a), m))
     return {
@@ -82,6 +96,13 @@ def main(argv=None):
     parser.add_argument("--iou_thresh", type=float, default=0.5)
     parser.add_argument("--score_thresh", type=float, default=0.3)
     parser.add_argument("--seed", type=int, default=10_000)
+    parser.add_argument("--threshold", type=float, default=None,
+                        help="Sigmoid threshold for semantic masks "
+                        "(default: snapshot metadata best_threshold, "
+                        "else 0.5)")
+    parser.add_argument("--tta", action="store_true",
+                        help="Flip-averaged test-time augmentation "
+                        "(4x forward cost)")
     args = parser.parse_args(argv)
 
     from rfi_toolbox_tpu.utils.platform import configure_platform
@@ -104,6 +125,7 @@ def main(argv=None):
     results = evaluate_model(
         args.model_path, args.dataset_dir, args.batch_size,
         args.in_channels, args.model_type, args.init_features,
+        threshold=args.threshold, tta=args.tta,
     )
     print("Evaluation Results:")
     for metric, value in results.items():

@@ -140,6 +140,33 @@ def _predict_fwd(params, batch_stats, chunk, apply_fn, threshold):
     return jax.nn.sigmoid(logits) > threshold
 
 
+@partial(jax.jit, static_argnames=("apply_fn", "threshold"))
+def _predict_fwd_tta(params, batch_stats, chunk, apply_fn, threshold):
+    """Flip-averaged test-time augmentation: ONE program runs all four
+    D2 flip variants (identity, time, freq, both) as a single 4B-batch
+    forward — XLA sees one big conv workload, not four dispatches —
+    then un-flips and averages the probabilities before thresholding.
+    RFI morphology is flip-covariant (the training augmentation relies
+    on the same symmetry), so averaging cancels orientation-dependent
+    errors."""
+    variants = jnp.concatenate(
+        [chunk, chunk[:, ::-1], chunk[:, :, ::-1], chunk[:, ::-1, ::-1]]
+    )
+    logits = apply_fn(
+        {"params": params, "batch_stats": batch_stats}, variants, train=False
+    )
+    logits = logits[..., 0] if logits.ndim == 4 else logits
+    probs = jax.nn.sigmoid(logits)
+    b = chunk.shape[0]
+    mean = (
+        probs[:b]
+        + probs[b : 2 * b][:, ::-1]
+        + probs[2 * b : 3 * b][:, :, ::-1]
+        + probs[3 * b :][:, ::-1, ::-1]
+    ) / 4
+    return mean > threshold
+
+
 def _grouped(batches, k):
     """Group consecutive (images, labels) minibatches of identical
     shape into lists of up to k (a shape change — e.g. a final partial
@@ -482,14 +509,19 @@ class Trainer:
         }
 
     # -- inference --------------------------------------------------------
-    def predict(self, images, batch_size=32, threshold=0.5):
+    def predict(self, images, batch_size=32, threshold=0.5, tta=False):
         """Binary masks for (N,H,W,C) images. The forward is a
         module-level cached jit (a per-call closure would recompile on
         every predict), and EVERY partial chunk — including a whole
         request smaller than batch_size — pads up to batch_size so only
         one shape ever compiles (same contract as
-        ``serving.CompiledPredictor``)."""
-        fwd = _predict_fwd
+        ``serving.CompiledPredictor``).
+
+        ``tta=True`` averages sigmoid probabilities over the four flip
+        orientations (4x forward cost, one fused program) before
+        thresholding — worth ~+0.005-0.01 IoU on the 8-channel
+        coherent pipeline (pretrained/README.md)."""
+        fwd = _predict_fwd_tta if tta else _predict_fwd
         images = np.asarray(images, dtype=np.float32)
         n = len(images)
         out = []

@@ -110,6 +110,32 @@ def test_train_and_evaluate_cli(tiny_dataset, tmp_path):
     assert all(0.0 <= v <= 1.0 for v in metrics.values())
 
 
+def test_evaluate_npz_metadata_defaults_and_tta(tiny_dataset, tmp_path):
+    """evaluate_model on a .npz snapshot defaults init_features and
+    threshold from the snapshot metadata (the shipped snapshots record
+    best_threshold), and --tta runs the flip-averaged path."""
+    import jax
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import Trainer, export_params
+
+    model = UNet(out_channels=1, init_features=4)
+    trainer = Trainer(model, seed=0)
+    trainer.state = trainer._init_state((64, 64, 8))
+    snap = tmp_path / "snap.npz"
+    export_params(trainer.state, snap,
+                  metadata={"init_features": 4, "best_threshold": 0.3})
+
+    # init_features=32 default would fail param-shape checking if the
+    # metadata were ignored
+    m1 = evaluate_model(str(snap), str(tiny_dataset / "val"), batch_size=2)
+    m2 = evaluate_model(str(snap), str(tiny_dataset / "val"), batch_size=2,
+                        tta=True)
+    for m in (m1, m2):
+        assert set(m) == {"iou", "precision", "recall", "f1", "dice"}
+        assert all(0.0 <= v <= 1.0 for v in m.values())
+
+
 def test_train_resume_cli(tiny_dataset, tmp_path):
     r1 = train_main([
         "--train_dir", str(tiny_dataset / "train"),

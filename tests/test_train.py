@@ -87,6 +87,35 @@ def test_predict_small_batches_compile_one_shape(rng):
     ).shape == (0, 16, 16)
 
 
+def test_predict_tta_matches_flip_averaged_reference(rng):
+    """tta=True must equal the hand-rolled flip-average of the plain
+    forward's probabilities (exact D2 symmetry, same threshold)."""
+    model = UNet(out_channels=1, init_features=4)
+    trainer = Trainer(model, seed=0)
+    trainer.state = trainer._init_state((16, 16, 3))
+    imgs = rng.normal(size=(5, 16, 16, 3)).astype(np.float32)
+
+    def probs(x):
+        logits = trainer.state.apply_fn(
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats},
+            jnp.asarray(x), train=False,
+        )
+        return np.asarray(jax.nn.sigmoid(logits[..., 0]))
+
+    want_mean = (
+        probs(imgs)
+        + probs(imgs[:, ::-1])[:, ::-1]
+        + probs(imgs[:, :, ::-1])[:, :, ::-1]
+        + probs(imgs[:, ::-1, ::-1])[:, ::-1, ::-1]
+    ) / 4
+    got = trainer.predict(imgs, batch_size=8, threshold=0.5, tta=True)
+    np.testing.assert_array_equal(got, want_mean > 0.5)
+    # and tta=False still matches the plain forward
+    plain = trainer.predict(imgs, batch_size=8, threshold=0.5)
+    np.testing.assert_array_equal(plain, probs(imgs) > 0.5)
+
+
 def test_trainer_resume(tmp_path, rng):
     train_ds = _toy_dataset(rng, n=8)
     val_ds = _toy_dataset(rng, n=8)
