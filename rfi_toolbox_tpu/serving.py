@@ -31,20 +31,42 @@ class CompiledPredictor:
         batch_size: the ONE static batch size compiled; requests of any
             length are chunked/padded to it.
         threshold: sigmoid cut for the binary mask.
+        tta: compile the flip-averaged test-time-augmentation forward
+            (all four D2 orientations as a single 4x-batch program —
+            see ``Trainer.predict(tta=True)``). 4x the FLOPs per
+            request, still exactly one AOT executable.
     """
 
     def __init__(self, model, params, batch_stats=None, input_shape=(128, 128, 3),
-                 batch_size=32, threshold=0.5):
+                 batch_size=32, threshold=0.5, tta=False):
         self.batch_size = int(batch_size)
         self.input_shape = tuple(input_shape)
         self.threshold = float(threshold)
+        self.tta = bool(tta)
         variables = {"params": params, "batch_stats": batch_stats or {}}
         thresh = self.threshold
 
-        def fwd(variables, images):
+        def _probs(variables, images):
             logits = model.apply(variables, images, train=False)
             logits = logits[..., 0] if logits.ndim == 4 else logits
-            return jax.nn.sigmoid(logits) > thresh
+            return jax.nn.sigmoid(logits)
+
+        def fwd(variables, images):
+            if not tta:
+                return _probs(variables, images) > thresh
+            variants = jnp.concatenate(
+                [images, images[:, ::-1], images[:, :, ::-1],
+                 images[:, ::-1, ::-1]]
+            )
+            p = _probs(variables, variants)
+            b = images.shape[0]
+            mean = (
+                p[:b]
+                + p[b : 2 * b][:, ::-1]
+                + p[2 * b : 3 * b][:, :, ::-1]
+                + p[3 * b :][:, ::-1, ::-1]
+            ) / 4
+            return mean > thresh
 
         spec = jax.ShapeDtypeStruct(
             (self.batch_size, *self.input_shape), jnp.float32

@@ -45,6 +45,34 @@ def test_partial_and_multi_chunk_batches(predictor, rng):
     assert pred(np.zeros((0, 32, 32, 3), np.float32)).shape == (0, 32, 32)
 
 
+def test_tta_matches_flip_averaged_reference(predictor, rng):
+    """tta=True compiles the flip-averaged forward: output equals the
+    hand-rolled D2 average of the plain predictor's probabilities."""
+    import jax
+
+    _, model, state = predictor
+    pred_tta = CompiledPredictor(
+        model, state.params, state.batch_stats,
+        input_shape=(32, 32, 3), batch_size=4, tta=True,
+    )
+    x = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+
+    def probs(a):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            a, train=False,
+        )
+        return np.asarray(jax.nn.sigmoid(logits[..., 0]))
+
+    want_mean = (
+        probs(x)
+        + probs(x[:, ::-1])[:, ::-1]
+        + probs(x[:, :, ::-1])[:, :, ::-1]
+        + probs(x[:, ::-1, ::-1])[:, ::-1, ::-1]
+    ) / 4
+    np.testing.assert_array_equal(pred_tta(x), want_mean > 0.5)
+
+
 def test_shape_mismatch_raises(predictor):
     pred, _, _ = predictor
     with pytest.raises(ValueError, match="expected"):
