@@ -6,7 +6,8 @@
 """
 
 from .fake_ms import FakeMS, FakeTable, make_fake_ms
-from .flagging import flag_measurement_set, flag_waterfalls
+from .flagging import (flag_measurement_set, flag_waterfalls,
+                       flag_waterfalls_coherent)
 from .ms_injection import inject_synthetic_data
 from .ms_loader import MSLoader
 
@@ -22,6 +23,7 @@ __all__ = [
     "inject_synthetic_data",
     "flag_measurement_set",
     "flag_waterfalls",
+    "flag_waterfalls_coherent",
     "FakeMS",
     "FakeTable",
     "make_fake_ms",

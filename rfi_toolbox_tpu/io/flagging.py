@@ -16,6 +16,7 @@ Throughput design:
 
 import logging
 import threading
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +28,8 @@ from .ms_loader import MSLoader
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["flag_measurement_set", "flag_waterfalls"]
+__all__ = ["flag_measurement_set", "flag_waterfalls",
+           "flag_waterfalls_coherent"]
 
 
 def _mad_flag_fn(sigma, use_pallas):
@@ -110,6 +112,65 @@ def flag_waterfalls(
     return flags
 
 
+def flag_waterfalls_coherent(vis4, predictor, patch_size=128):
+    """Flag (B, 4, C, T) 4-pol complex waterfalls with an 8-channel
+    coherent-pipeline model (pretrained/unet16_coherent8ch.npz class).
+
+    Unlike :func:`flag_waterfalls` (which flags each pol plane
+    independently through the 3-channel preprocessed convention), this
+    consumes all four polarizations jointly — the model sees
+    4 pols x (re, im) = 8 channels per patch, per-patch robust-scaled
+    (scalar median/IQR, the reference's per-``input.npy`` RobustScaler
+    semantics) — and returns ONE (B, C, T) bool mask per baseline,
+    shared across pols (RFI occupancy is a property of the
+    time-frequency cell, not of one polarization).
+
+    Args:
+        vis4: (B, 4, C, T) complex array (host or device).
+        predictor: callable (N, p, p, 8) float32 -> (N, p, p) bool,
+            e.g. ``serving.CompiledPredictor.from_snapshot(
+            "pretrained/unet16_coherent8ch.npz")`` or a
+            ``Trainer.predict`` closure; the predictor owns its
+            threshold (shipped snapshots record ``best_threshold``).
+
+    Returns:
+        (B, C, T) bool flags.
+    """
+    vis4 = to_device(np.asarray(vis4).astype(np.complex64))
+    if vis4.ndim != 4 or vis4.shape[1] != 4:
+        raise ValueError(f"Expected (B, 4, C, T) 4-pol waterfalls, "
+                         f"got {vis4.shape}")
+    b, _, c, t = vis4.shape
+    images = _coherent_images(vis4, patch_size)
+    preds = jnp.asarray(predictor(np.asarray(images)))
+    flags = P.unpatchify_batch(preds.astype(jnp.float32), b, c, t) > 0
+    return flags
+
+
+@partial(jax.jit, static_argnames=("patch_size",))
+def _coherent_images(vis4, patch_size):
+    b = vis4.shape[0]
+    planes = vis4.reshape(b * 4, *vis4.shape[2:])
+    patches = P.patchify_batch(planes, patch_size)  # (b*4*N, p, p)
+    n = patches.shape[0] // (b * 4)
+    patches = patches.reshape(b, 4, n, patch_size, patch_size)
+    x = jnp.concatenate(
+        [patches.real, patches.imag], axis=1
+    )  # (b, 8, N, p, p) — pol-major then re/im blocks
+    # reorder to the training convention: pol0.re, pol0.im, pol1.re, ...
+    order = jnp.array([0, 4, 1, 5, 2, 6, 3, 7])
+    x = x[:, order]
+    x = x.transpose(0, 2, 3, 4, 1).reshape(b * n, patch_size,
+                                           patch_size, 8)
+    flat = x.reshape(x.shape[0], -1)
+    med = jnp.median(flat, axis=1)
+    q75 = jnp.percentile(flat, 75, axis=1)
+    q25 = jnp.percentile(flat, 25, axis=1)
+    scale = jnp.maximum(q75 - q25, 1e-12)
+    return ((x - med[:, None, None, None])
+            / scale[:, None, None, None]).astype(jnp.float32)
+
+
 def flag_measurement_set(
     ms,
     method="mad",
@@ -140,7 +201,13 @@ def flag_measurement_set(
 
     Args:
         ms: MS path or FakeMS.
-        method: 'mad' or 'model' (see :func:`flag_waterfalls`).
+        method: 'mad' or 'model' (see :func:`flag_waterfalls`), or
+            'model8' — the coherent 8-channel convention: all four
+            polarizations consumed jointly per baseline
+            (:func:`flag_waterfalls_coherent`), one mask per
+            time-frequency cell written to all 4 pols. Use with an
+            8-channel predictor, e.g.
+            ``CompiledPredictor.from_snapshot("pretrained/unet16_coherent8ch.npz")``.
         num_antennas: limit the ANTENNA1 loop (reference semantics).
         merge_existing: OR new flags into the existing FLAG column.
 
@@ -172,17 +239,32 @@ def flag_measurement_set(
             loader.close()
             return {"baselines": 0, "flagged_fraction": 0.0, "failed": []}
         b, p, c, t = data.shape
-        flags = flag_waterfalls(
-            data.reshape(b * p, c, t).astype(np.complex64),
-            method=method,
-            sigma=sigma,
-            patch_size=patch_size,
-            predictor=predictor,
-            threshold=threshold,
-            use_pallas=use_pallas,
-            mesh=mesh,
-        )
-        flags_host = np.asarray(flags).reshape(b, p, c, t)
+        if method == "model8":
+            if predictor is None:
+                raise ValueError("method='model8' requires a predictor")
+            if p != 4:
+                raise ValueError(
+                    f"method='model8' needs 4 polarizations, MS has {p}"
+                )
+            coh = flag_waterfalls_coherent(
+                data.astype(np.complex64), predictor, patch_size=patch_size
+            )
+            # one (C, T) mask per baseline, shared across the 4 pols
+            flags_host = np.broadcast_to(
+                np.asarray(coh)[:, None], (b, p, c, t)
+            ).copy()
+        else:
+            flags = flag_waterfalls(
+                data.reshape(b * p, c, t).astype(np.complex64),
+                method=method,
+                sigma=sigma,
+                patch_size=patch_size,
+                predictor=predictor,
+                threshold=threshold,
+                use_pallas=use_pallas,
+                mesh=mesh,
+            )
+            flags_host = np.asarray(flags).reshape(b, p, c, t)
         if merge_existing:
             flags_host = flags_host | loader.load_flags()
         loader.save_flags(flags_host)
@@ -242,17 +324,28 @@ def flag_measurement_set(
         # (4, C, T) complex128 -> device complex64 pipeline; the mesh
         # shards the 4-pol batch exactly as the bulk path does (the
         # ragged-bulk fallback forwards mesh into this loop)
-        flags = flag_waterfalls(
-            data.astype(np.complex64),
-            method=method,
-            sigma=sigma,
-            patch_size=patch_size,
-            predictor=predictor,
-            threshold=threshold,
-            use_pallas=use_pallas,
-            mesh=mesh,
-        )
-        flags_host = np.asarray(flags)
+        if method == "model8":
+            if predictor is None:
+                raise ValueError("method='model8' requires a predictor")
+            coh = flag_waterfalls_coherent(
+                data.astype(np.complex64)[None], predictor,
+                patch_size=patch_size,
+            )
+            flags_host = np.broadcast_to(
+                np.asarray(coh), data.shape
+            ).copy()
+        else:
+            flags = flag_waterfalls(
+                data.astype(np.complex64),
+                method=method,
+                sigma=sigma,
+                patch_size=patch_size,
+                predictor=predictor,
+                threshold=threshold,
+                use_pallas=use_pallas,
+                mesh=mesh,
+            )
+            flags_host = np.asarray(flags)
         if merge_existing:
             existing = loader.load_baseline_flags(pair[0], pair[1],
                                                   field_id=field_id)

@@ -65,6 +65,77 @@ def test_flag_waterfalls_model_predictor(rng):
     assert flags.shape == (1, 256, 256)
 
 
+def _fake_8ch_predictor(images):
+    """Robust-scaled RFI pixels are huge outliers in every channel."""
+    return np.abs(np.asarray(images)).max(-1) > 10.0
+
+
+def test_coherent_images_channel_order():
+    """_coherent_images must emit the training convention: pol0.re,
+    pol0.im, pol1.re, pol1.im, ... (pretrained/README.md), with one
+    scalar median/IQR per patch."""
+    from rfi_toolbox_tpu.io.flagging import _coherent_images
+
+    p = 16
+    vis = np.zeros((1, 4, p, p), np.complex64)
+    for k in range(4):
+        vis[0, k] = (k + 1) - 1j * (k + 1)
+    imgs = np.asarray(_coherent_images(vis, p))
+    assert imgs.shape == (1, p, p, 8)
+    means = imgs[0].mean(axis=(0, 1))
+    want = np.array([1, -1, 2, -2, 3, -3, 4, -4], float)
+    # scalar scaling preserves relative channel values exactly
+    np.testing.assert_allclose(means / np.abs(means).max(),
+                               want / np.abs(want).max(), rtol=1e-5)
+
+
+def test_flag_waterfalls_coherent(rng):
+    base = rng.normal(1.0, 0.1, (2, 4, 128, 128))
+    truth = np.zeros((2, 128, 128), bool)
+    base[:, :, 40:44, :] += 3e3
+    truth[:, 40:44, :] = True
+    vis = (base * np.exp(1j * rng.uniform(0, 6.28, base.shape))).astype(
+        np.complex64
+    )
+    from rfi_toolbox_tpu.io import flag_waterfalls_coherent
+
+    flags = np.asarray(
+        flag_waterfalls_coherent(vis, _fake_8ch_predictor, patch_size=128)
+    )
+    assert flags.shape == (2, 128, 128)
+    m = evaluate_segmentation(flags, truth)
+    assert m["recall"] > 0.99 and m["precision"] > 0.9
+
+    with pytest.raises(ValueError, match="4-pol"):
+        flag_waterfalls_coherent(vis[:, :3], _fake_8ch_predictor)
+
+
+def test_flag_measurement_set_model8(rng):
+    """The coherent 8-channel model path flags the whole MS: one mask
+    per time-frequency cell, identical across the 4 pols, and the bulk
+    and streaming modes agree."""
+    ms1, truth = _rfi_ms(rng, nchan=64, ntime=64)
+    ms2 = ms1.copy()
+    r = flag_measurement_set(ms1, method="model8",
+                             predictor=_fake_8ch_predictor, patch_size=64)
+    assert r["baselines"] == 3
+    loader = MSLoader(ms1)
+    loader.load()
+    flags = loader.load_flags()
+    loader.close()
+    np.testing.assert_array_equal(flags[:, 0], flags[:, 1])  # shared mask
+    m = evaluate_segmentation(flags, truth)
+    assert m["recall"] > 0.95
+
+    flag_measurement_set(ms2, method="model8",
+                         predictor=_fake_8ch_predictor, patch_size=64,
+                         streaming=True)
+    l2 = MSLoader(ms2)
+    l2.load()
+    np.testing.assert_array_equal(flags, l2.load_flags())
+    l2.close()
+
+
 def test_flag_waterfalls_bad_method(rng):
     with pytest.raises(ValueError, match="method"):
         flag_waterfalls(np.zeros((1, 8, 8), np.complex64), method="nope")
