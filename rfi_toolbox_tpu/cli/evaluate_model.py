@@ -64,13 +64,30 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
 
 def evaluate_instance_snapshot(model_path, num_images=32, seed=10_000,
                                iou_thresh=0.5, score_thresh=0.3,
-                               batch_size=8):
+                               batch_size=8, event_config=None):
     """Held-out instance-segmentation quality of a SOLOLite snapshot
-    (COCO-style per-event matching on fixed-seed synthetic batches)."""
+    (COCO-style per-event matching on fixed-seed synthetic batches).
+
+    ``event_config``: optional path to a YAML/JSON file mapping RFI
+    event family -> parameter ranges (the ``rfi_config`` schema, e.g.
+    ``{"broadband_bursty": {"count": [0, 1]}}``) — lets the CLI
+    reproduce the all-six-family quality gate exactly."""
     from rfi_toolbox_tpu.evaluation import evaluate_instance_model
     from rfi_toolbox_tpu.train import InstanceTrainer
 
-    trainer = InstanceTrainer.load(model_path, batch_size=batch_size)
+    kwargs = {}
+    if event_config is not None:
+        import json
+
+        text = open(event_config).read()
+        try:
+            kwargs["rfi_config"] = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml
+
+            kwargs["rfi_config"] = yaml.safe_load(text)
+    trainer = InstanceTrainer.load(model_path, batch_size=batch_size,
+                                   **kwargs)
     return evaluate_instance_model(
         trainer, num_images=num_images, seed=seed,
         iou_thresh=iou_thresh, score_thresh=score_thresh,
@@ -93,6 +110,11 @@ def main(argv=None):
                         "fixed-seed held-out synthetic batches instead "
                         "of a semantic dataset dir")
     parser.add_argument("--num_images", type=int, default=32)
+    parser.add_argument("--event_config", type=str, default=None,
+                        help="YAML/JSON rfi_config file for --instance "
+                        "held-out generation (e.g. the all-six-family "
+                        "mix; default: the reference's default 4-family "
+                        "event mix)")
     parser.add_argument("--iou_thresh", type=float, default=0.5)
     parser.add_argument("--score_thresh", type=float, default=0.3)
     parser.add_argument("--seed", type=int, default=10_000)
@@ -113,7 +135,7 @@ def main(argv=None):
         results = evaluate_instance_snapshot(
             args.model_path, num_images=args.num_images, seed=args.seed,
             iou_thresh=args.iou_thresh, score_thresh=args.score_thresh,
-            batch_size=args.batch_size,
+            batch_size=args.batch_size, event_config=args.event_config,
         )
         print("Instance Evaluation Results:")
         for metric, value in results.items():

@@ -142,3 +142,14 @@ def test_evaluate_instance_cli(capsys):
     ])
     assert 0.0 <= results["recall"] <= 1.0
     assert "Instance Evaluation" in capsys.readouterr().out
+
+    # --event_config reproduces the all-six generation mix via the CLI
+    cfg = Path(__file__).parent.parent / "configs" / "evaluation" \
+        / "all_six_events.yaml"
+    results6 = eval_main([
+        "--model_path", str(WEIGHTS), "--instance",
+        "--num_images", "4", "--batch_size", "4",
+        "--event_config", str(cfg),
+    ])
+    assert 0.0 <= results6["recall"] <= 1.0
+    assert len(results6["per_class_recall"]) >= 5  # six families sampled
