@@ -133,29 +133,56 @@ def test_pretrained_8ch_coherent_unet(rng):
     assert m["iou"] > 0.5, m
 
 
+WEIGHTS_24 = Path(__file__).parent.parent / "pretrained" / "unet24_coherent8ch.npz"
+
+
 @pytest.mark.slow
-@pytest.mark.skipif(not WEIGHTS_8CH.exists(), reason="weights not present")
-def test_pretrained_8ch_held_out_iou_gate():
+@pytest.mark.parametrize(
+    "weights,floor,tta_floor",
+    [
+        pytest.param(WEIGHTS_8CH, 0.83, None, id="unet16"),
+        pytest.param(WEIGHTS_24, 0.85, 0.86, id="unet24"),
+    ],
+)
+def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
     """Held-out IoU QUALITY GATE (round-2 verdict #3: the smoke test
     could not catch a regressed snapshot). Evaluates at the snapshot's
     training size and best_threshold on a fixed-seed key stream
     disjoint from training (training uses keys from jax.random.key(2);
-    this uses key(10_000), the same held-out convention the recorded
-    0.855 was measured with). Floor 0.83 = recorded - sampling noise
-    across a 1-batch subset."""
+    this uses key(10_000), the held-out convention the recorded numbers
+    were measured with). Floors = CPU 1-batch measurement minus a small
+    margin (unet16 0.8518, unet24 0.8597 plain / 0.8660 TTA; full
+    8-batch TPU means: 0.855, 0.8642 / 0.8705). The unet24 TTA gate
+    also pins the flip-averaged inference path's quality claim."""
     import jax
 
     from rfi_toolbox_tpu.evaluation import evaluate_segmentation
     from rfi_toolbox_tpu.models import UNet
     from rfi_toolbox_tpu.train import load_params
 
-    params, batch_stats, meta = load_params(WEIGHTS_8CH)
+    if not weights.exists():
+        pytest.skip("weights not present")
+    params, batch_stats, meta = load_params(weights)
     size = int(meta.get("train_size", [256, 256])[0])
     th = float(meta.get("best_threshold", 0.5))
     model = UNet(init_features=meta["init_features"])
     x, gt = _coherent8ch_batch(jax.random.key(10_000), 8, size)
-    logits = model.apply({"params": params, "batch_stats": batch_stats},
-                         x, train=False)
-    probs = np.asarray(jax.nn.sigmoid(logits[..., 0]))
-    m = evaluate_segmentation(probs > th, gt)
-    assert m["iou"] >= 0.83, m
+
+    def probs(a):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             a, train=False)
+        return np.asarray(jax.nn.sigmoid(logits[..., 0]))
+
+    p = probs(x)
+    m = evaluate_segmentation(p > th, gt)
+    assert m["iou"] >= floor, m
+    if tta_floor is not None:
+        p_tta = (
+            probs(x)
+            + probs(x[:, ::-1])[:, ::-1]
+            + probs(x[:, :, ::-1])[:, :, ::-1]
+            + probs(x[:, ::-1, ::-1])[:, ::-1, ::-1]
+        ) / 4
+        m_tta = evaluate_segmentation(p_tta > th, gt)
+        assert m_tta["iou"] >= tta_floor, m_tta
+        assert m_tta["iou"] > m["iou"]  # TTA must not hurt
