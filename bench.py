@@ -472,6 +472,46 @@ def bench_serving():
     }))
 
 
+def bench_flag_model8():
+    """Coherent 8-channel model flagging throughput: (B, 4, 1024, 1024)
+    complex visibilities -> patchify all 4 pols jointly -> per-patch
+    robust scale -> UNet24 AOT forward -> unpatchify, Mvis/s — the
+    production `flag_measurement_set(method='model8')` compute path
+    minus table I/O (includes the host hop at the predictor boundary,
+    which on this container rides the remote tunnel)."""
+    import jax
+
+    from rfi_toolbox_tpu.io import flag_waterfalls_coherent
+    from rfi_toolbox_tpu.serving import CompiledPredictor
+
+    B, C, T = 2, 1024, 1024
+    rng = np.random.default_rng(0)
+    pred = CompiledPredictor.from_snapshot(
+        "pretrained/unet24_coherent8ch.npz", batch_size=64,
+    )
+    base = rng.normal(1.0, 0.1, (B, 4, C, T))
+    base[:, :, 100:110, :] += 3e3
+    vis = (base * np.exp(1j * rng.uniform(0, 6.28, base.shape))).astype(
+        np.complex64
+    )
+    flag_waterfalls_coherent(vis, pred, patch_size=128)  # warm compiles
+    windows = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        flags = flag_waterfalls_coherent(vis, pred, patch_size=128)
+        _sync(flags)
+        windows.append(B * 4 * C * T / (time.perf_counter() - t0) / 1e6)
+    value = float(np.median(windows))
+    print(json.dumps({
+        "metric": "flag_model8_megavis_per_sec",
+        "value": round(value, 2),
+        "unit": "Mvis/s (4-pol joint UNet24 flagging, 1024^2 waterfalls)",
+        "windows": len(windows),
+        "selection": "median",
+        "window_values": [round(w, 2) for w in windows],
+    }))
+
+
 def bench_ms_roundtrip():
     """BASELINE config 5: MSLoader -> fused preprocess -> MAD inference
     -> save_flags, visibilities/sec through the full round trip (FakeMS
@@ -505,6 +545,7 @@ if __name__ == "__main__":
         "ms_roundtrip": "bench_ms_roundtrip",
         "fourpol": "bench_fourpol",
         "serving": "bench_serving",
+        "flag_model8": "bench_flag_model8",
     }
     _enable_cache()
     if len(sys.argv) > 1 and sys.argv[1] in configs:
