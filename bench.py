@@ -37,6 +37,10 @@ def _sync(x):
 
     for leaf in jax.tree.leaves(x):
         leaf = jax.numpy.asarray(leaf)
+        if jax.numpy.iscomplexobj(leaf):
+            # Complex host<->device transfers are UNIMPLEMENTED on the
+            # axon backend; reading the real plane syncs just the same.
+            leaf = leaf.real
         np.asarray(leaf[(0,) * leaf.ndim])
 
 

@@ -12,7 +12,7 @@ __all__ = ["main", "evaluate_model"]
 
 
 def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
-                   model_type="unet", init_features=32, threshold=None,
+                   model_type="unet", init_features=None, threshold=None,
                    tta=False):
     """Average IoU/precision/recall/F1/Dice of a checkpoint over a
     sample-directory dataset. Returns the metric dict.
@@ -33,7 +33,8 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
         from rfi_toolbox_tpu.train import load_params
 
         params, batch_stats, meta = load_params(model_path)
-        init_features = meta.get("init_features", init_features)
+        if init_features is None:
+            init_features = meta.get("init_features", 32)
         if threshold is None:
             threshold = meta.get("best_threshold", 0.5)
         model = create_model(model_type, init_features=init_features)
@@ -42,6 +43,8 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
         trainer.state = trainer.state.replace(params=params,
                                               batch_stats=batch_stats)
     else:
+        if init_features is None:
+            init_features = 32
         model = create_model(model_type, init_features=init_features)
         trainer = Trainer(model)
         trainer.restore(model_path, ds.images.shape[1:])
@@ -104,7 +107,9 @@ def main(argv=None):
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--in_channels", type=int, default=8)
     parser.add_argument("--model_type", type=str, default="unet")
-    parser.add_argument("--init_features", type=int, default=32)
+    parser.add_argument("--init_features", type=int, default=None,
+                        help="Default: snapshot metadata init_features, "
+                        "else 32")
     parser.add_argument("--instance", action="store_true",
                         help="Evaluate a SOLOLite instance snapshot on "
                         "fixed-seed held-out synthetic batches instead "
@@ -132,6 +137,9 @@ def main(argv=None):
     configure_platform(args.device)
 
     if args.instance:
+        if args.tta or args.threshold is not None:
+            parser.error("--threshold/--tta apply only to semantic "
+                         "evaluation, not --instance")
         results = evaluate_instance_snapshot(
             args.model_path, num_images=args.num_images, seed=args.seed,
             iou_thresh=args.iou_thresh, score_thresh=args.score_thresh,

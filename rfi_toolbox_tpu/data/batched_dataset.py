@@ -273,6 +273,9 @@ class StreamingDataset:
         self.metadata = (
             json.loads(meta_path.read_text()) if meta_path.exists() else {}
         )
+        # cached first-file sample count (the shuffle pool's refill
+        # target) — .npz/.pt counting is a full load, pay it once
+        self._first_file_count = None
         if "num_samples" in self.metadata:
             self._num_samples = int(self.metadata["num_samples"])
             self.image_shape = tuple(self.metadata["image_shape"])
@@ -282,6 +285,7 @@ class StreamingDataset:
             # exactly, one at a time
             first = _load_batch_file(self.files[0])
             self.image_shape = tuple(first.images.shape[1:])
+            self._first_file_count = len(first)
             self._num_samples = len(first) + sum(
                 _count_batch_file(u) for u in self.files[1:]
             )
@@ -336,8 +340,10 @@ class StreamingDataset:
                 images = next(it)
                 labels = next(it)
                 self._track(+1)
-                yield ArrayDataset(images, labels)
-                self._track(-1)
+                try:
+                    yield ArrayDataset(images, labels)
+                finally:
+                    self._track(-1)
 
     def _iter_files_python(self, order):
         q = queue.Queue(maxsize=1)
@@ -365,14 +371,26 @@ class StreamingDataset:
                     return
                 if isinstance(item, BaseException):
                     raise item
-                yield item
-                del item
-                self._track(-1)
+                try:
+                    yield item
+                finally:
+                    del item
+                    self._track(-1)
         finally:
             stop.set()
-            # drain so a blocked producer can exit
-            while not q.empty():
-                leftover = q.get_nowait()
+            # Drain until the producer THREAD exits, not merely until
+            # the queue looks empty: a producer blocked in q.put can
+            # complete its put after an emptiness check, stranding one
+            # tracked file (observed as _resident stuck at 1 after an
+            # early abort).
+            while True:
+                try:
+                    leftover = q.get_nowait()
+                except queue.Empty:
+                    if not t.is_alive():
+                        break
+                    t.join(timeout=0.05)
+                    continue
                 if leftover is not SENTINEL and not isinstance(
                     leftover, BaseException
                 ):
@@ -438,7 +456,9 @@ class StreamingDataset:
         files, permute the whole pool on every refill, and serve
         minibatches from a cursor (compaction — dropping consumed rows —
         happens once per refill, not per batch)."""
-        per_file = max(_count_batch_file(self.files[0]), 1)
+        if self._first_file_count is None:
+            self._first_file_count = _count_batch_file(self.files[0])
+        per_file = max(self._first_file_count, 1)
         k = min(int(shuffle_buffer_files), len(self.files))
         target = k * per_file
         files_it = self._iter_files(rng.permutation(len(self.files)))

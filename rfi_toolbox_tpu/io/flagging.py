@@ -112,7 +112,8 @@ def flag_waterfalls(
     return flags
 
 
-def flag_waterfalls_coherent(vis4, predictor, patch_size=128):
+def flag_waterfalls_coherent(vis4, predictor, patch_size=128,
+                             threshold=0.5):
     """Flag (B, 4, C, T) 4-pol complex waterfalls with an 8-channel
     coherent-pipeline model (pretrained/unet16_coherent8ch.npz class).
 
@@ -132,17 +133,23 @@ def flag_waterfalls_coherent(vis4, predictor, patch_size=128):
             "pretrained/unet16_coherent8ch.npz")`` or a
             ``Trainer.predict`` closure; the predictor owns its
             threshold (shipped snapshots record ``best_threshold``).
+        threshold: applied only when the predictor returns
+            probabilities instead of bools (same guard as
+            :func:`flag_waterfalls`).
 
     Returns:
         (B, C, T) bool flags.
     """
-    vis4 = to_device(np.asarray(vis4).astype(np.complex64))
+    if not isinstance(vis4, jax.Array):
+        vis4 = np.asarray(vis4)
+    vis4 = to_device(vis4, dtype=np.complex64)
     if vis4.ndim != 4 or vis4.shape[1] != 4:
         raise ValueError(f"Expected (B, 4, C, T) 4-pol waterfalls, "
                          f"got {vis4.shape}")
     b, _, c, t = vis4.shape
     images = _coherent_images(vis4, patch_size)
     preds = jnp.asarray(predictor(np.asarray(images)))
+    preds = preds if preds.dtype == bool else preds > threshold
     flags = P.unpatchify_batch(preds.astype(jnp.float32), b, c, t) > 0
     return flags
 

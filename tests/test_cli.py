@@ -135,6 +135,30 @@ def test_evaluate_npz_metadata_defaults_and_tta(tiny_dataset, tmp_path):
         assert set(m) == {"iou", "precision", "recall", "f1", "dice"}
         assert all(0.0 <= v <= 1.0 for v in m.values())
 
+    # an EXPLICIT init_features beats snapshot metadata: metadata lies
+    # (8), caller passes the true 4 -> must still evaluate cleanly
+    snap_bad_meta = tmp_path / "snap_bad_meta.npz"
+    export_params(trainer.state, snap_bad_meta,
+                  metadata={"init_features": 8, "best_threshold": 0.3})
+    m3 = evaluate_model(str(snap_bad_meta), str(tiny_dataset / "val"),
+                        batch_size=2, init_features=4)
+    assert set(m3) == {"iou", "precision", "recall", "f1", "dice"}
+
+
+def test_evaluate_instance_rejects_semantic_flags(tmp_path):
+    """--threshold/--tta are semantic-only; combining them with
+    --instance must fail loudly instead of being silently ignored."""
+    import pytest
+
+    from rfi_toolbox_tpu.cli.evaluate_model import main as eval_main
+
+    with pytest.raises(SystemExit):
+        eval_main(["--model_path", str(tmp_path / "x.npz"),
+                   "--instance", "--tta"])
+    with pytest.raises(SystemExit):
+        eval_main(["--model_path", str(tmp_path / "x.npz"),
+                   "--instance", "--threshold", "0.3"])
+
 
 def test_train_resume_cli(tiny_dataset, tmp_path):
     r1 = train_main([

@@ -110,6 +110,31 @@ def test_flag_waterfalls_coherent(rng):
         flag_waterfalls_coherent(vis[:, :3], _fake_8ch_predictor)
 
 
+def test_flag_waterfalls_coherent_probability_predictor(rng):
+    """A predictor returning sigmoid probabilities (not bools) must be
+    thresholded, not binarized at >0 — background probs are small but
+    nonzero, and >0 would flag the entire MS."""
+    base = rng.normal(1.0, 0.1, (1, 4, 128, 128))
+    truth = np.zeros((1, 128, 128), bool)
+    base[:, :, 40:44, :] += 3e3
+    truth[:, 40:44, :] = True
+    vis = (base * np.exp(1j * rng.uniform(0, 6.28, base.shape))).astype(
+        np.complex64
+    )
+    from rfi_toolbox_tpu.io import flag_waterfalls_coherent
+
+    def prob_predictor(images):
+        z = np.abs(np.asarray(images)).max(-1) - 10.0
+        return 1.0 / (1.0 + np.exp(-z))  # background ~1e-4, never 0
+
+    flags = np.asarray(
+        flag_waterfalls_coherent(vis, prob_predictor, patch_size=128)
+    )
+    assert flags.mean() < 0.5  # >0-binarization would flag ~100%
+    m = evaluate_segmentation(flags, truth)
+    assert m["recall"] > 0.99 and m["precision"] > 0.9
+
+
 def test_flag_measurement_set_model8(rng):
     """The coherent 8-channel model path flags the whole MS: one mask
     per time-frequency cell, identical across the 4 pols, and the bulk

@@ -235,6 +235,27 @@ def test_streaming_early_abort_no_deadlock(tmp_path):
     assert threading.active_count() <= before + 1
 
 
+@pytest.mark.parametrize("fmt", ["npz", "npy"])
+@pytest.mark.parametrize("pool", [1, 2])
+def test_early_abort_residency_returns_to_zero(tmp_path, fmt, pool):
+    """Closing iter_epoch mid-stream must release the in-hand file's
+    residency count (both reader paths, pooled and unpooled), or
+    max_resident_files over-reports on every later epoch. The close
+    drain joins the producer thread, so residency is zero as soon as
+    close() returns — a producer whose blocked q.put completes after
+    an emptiness check must not strand a tracked file."""
+    _write_batches(tmp_path / "ds", fmt=fmt)
+    sd = StreamingDataset(tmp_path / "ds")
+    it = sd.iter_epoch(batch_size=4, rng=np.random.default_rng(0),
+                       shuffle_buffer_files=pool)
+    next(it)
+    it.close()
+    assert sd._resident == 0
+    peak_after_abort = sd.max_resident_files
+    sum(1 for _ in sd.iter_epoch(batch_size=4))
+    assert sd.max_resident_files <= max(peak_after_abort, 3)
+
+
 def test_trainer_fit_from_single_npz_file(tmp_path):
     """A path to ONE .npz dataset file (ArrayDataset.save_to_disk
     output) trains in-memory — path arguments cover both layouts."""
