@@ -9,6 +9,11 @@ Run: python examples/flag_measurement_set.py [--device cpu]
         through the shipped UNet24 via an AOT-compiled predictor)
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import numpy as np

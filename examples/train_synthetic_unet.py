@@ -3,6 +3,11 @@
 Run: python examples/train_synthetic_unet.py [--device cpu]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import numpy as np

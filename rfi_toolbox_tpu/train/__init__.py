@@ -1,5 +1,6 @@
 """Training: losses, train state, trainer, checkpointing."""
 
+from .coherent_trainer import CoherentTrainer, coherent_batch
 from .instance_trainer import (
     InstanceTrainer,
     make_instance_fused_steps,
@@ -31,6 +32,8 @@ __all__ = [
     "RawPatchTrainer",
     "augment_batch",
     "make_raw_patch_step",
+    "CoherentTrainer",
+    "coherent_batch",
     "InstanceTrainer",
     "make_instance_train_step",
     "make_instance_fused_steps",
