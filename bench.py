@@ -540,6 +540,61 @@ def bench_ms_roundtrip():
     }))
 
 
+def bench_train_norms():
+    """Device-resident UNet train throughput, BatchNorm (reference
+    parity) vs GroupNorm (beyond-reference ``norm='group'``): the
+    roofline analysis puts BN's stats+normalize passes among the
+    non-MXU residue of the step, and GroupNorm carries no cross-batch
+    running stats to update. Same headline shapes (batch 128, 128^2,
+    3ch, f=32, bf16), same data; reports both and the ratio."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import create_train_state, train_steps
+
+    TRAIN_BATCH, PATCH, STEPS = 128, 128, 8
+    key = jax.random.key(0)
+    imgs = jax.random.normal(key, (STEPS, TRAIN_BATCH, PATCH, PATCH, 3),
+                             jnp.float32)
+    lbls = (jax.random.uniform(key, (STEPS, TRAIN_BATCH, PATCH, PATCH))
+            > 0.9).astype(jnp.float32)
+
+    results = {}
+    for norm in ("batch", "group"):
+        model = UNet(out_channels=1, init_features=32, dtype=jnp.bfloat16,
+                     norm=norm)
+        state = create_train_state(model, jax.random.key(1),
+                                   (1, PATCH, PATCH, 3))
+        state, losses = train_steps(state, imgs, lbls)  # compile + warm
+        _sync(losses)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, losses = train_steps(state, imgs, lbls)
+        _sync(losses)
+        dt = (time.perf_counter() - t0) / reps
+        tflops = unet_train_flops_analytic(TRAIN_BATCH) * STEPS / dt / 1e12
+        results[norm] = {
+            "patches_per_sec": round(STEPS * TRAIN_BATCH / dt, 1),
+            "achieved_tflops": round(tflops, 1),
+            "mfu_pct_v5e_bf16": round(
+                100 * tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 1),
+        }
+
+    speedup = (results["group"]["patches_per_sec"]
+               / results["batch"]["patches_per_sec"])
+    print(json.dumps({
+        "metric": "train_norm_patches_per_sec",
+        "value": results["group"]["patches_per_sec"],
+        "unit": "patches/s (device-resident fwd+bwd, norm='group')",
+        "vs_baseline": round(speedup, 3),
+        "baseline": "norm='batch' (reference parity) same shapes",
+        "batch_norm": results["batch"],
+        "group_norm": results["group"],
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -550,6 +605,7 @@ if __name__ == "__main__":
         "fourpol": "bench_fourpol",
         "serving": "bench_serving",
         "flag_model8": "bench_flag_model8",
+        "train_norms": "bench_train_norms",
     }
     _enable_cache()
     if len(sys.argv) > 1 and sys.argv[1] in configs:

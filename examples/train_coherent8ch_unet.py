@@ -25,6 +25,11 @@ import json
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--features", type=int, default=24)
+    parser.add_argument("--norm", default="batch",
+                        choices=["batch", "group", "none"],
+                        help="UNet normalization; 'group' avoids "
+                        "BatchNorm's unstable running-stats calibration "
+                        "on this heavy-tailed task (BASELINE.md)")
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--steps", type=int, default=36_000)
@@ -57,7 +62,7 @@ def main():
     )
     trainer = CoherentTrainer(
         init_features=args.features, size=args.size, batch_size=args.batch,
-        learning_rate=schedule, seed=args.seed,
+        learning_rate=schedule, seed=args.seed, norm=args.norm,
     )
     if args.resume:
         step = trainer.restore_checkpoint(args.resume,

@@ -13,7 +13,7 @@ __all__ = ["main", "evaluate_model"]
 
 def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
                    model_type="unet", init_features=None, threshold=None,
-                   tta=False):
+                   tta=False, norm=None):
     """Average IoU/precision/recall/F1/Dice of a checkpoint over a
     sample-directory dataset. Returns the metric dict.
 
@@ -37,7 +37,10 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
             init_features = meta.get("init_features", 32)
         if threshold is None:
             threshold = meta.get("best_threshold", 0.5)
-        model = create_model(model_type, init_features=init_features)
+        if norm is None:
+            norm = meta.get("norm", "batch")
+        model = create_model(model_type, init_features=init_features,
+                             norm=norm)
         trainer = Trainer(model)
         trainer.state = trainer._init_state(ds.images.shape[1:])
         trainer.state = trainer.state.replace(params=params,
@@ -45,7 +48,8 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
     else:
         if init_features is None:
             init_features = 32
-        model = create_model(model_type, init_features=init_features)
+        model = create_model(model_type, init_features=init_features,
+                             norm=norm or "batch")
         trainer = Trainer(model)
         trainer.restore(model_path, ds.images.shape[1:])
     if threshold is None:
@@ -110,6 +114,10 @@ def main(argv=None):
     parser.add_argument("--init_features", type=int, default=None,
                         help="Default: snapshot metadata init_features, "
                         "else 32")
+    parser.add_argument("--norm", type=str, default=None,
+                        choices=["batch", "group", "none"],
+                        help="UNet normalization; default: snapshot "
+                        "metadata norm, else 'batch'")
     parser.add_argument("--instance", action="store_true",
                         help="Evaluate a SOLOLite instance snapshot on "
                         "fixed-seed held-out synthetic batches instead "
@@ -155,7 +163,7 @@ def main(argv=None):
     results = evaluate_model(
         args.model_path, args.dataset_dir, args.batch_size,
         args.in_channels, args.model_type, args.init_features,
-        threshold=args.threshold, tta=args.tta,
+        threshold=args.threshold, tta=args.tta, norm=args.norm,
     )
     print("Evaluation Results:")
     for metric, value in results.items():

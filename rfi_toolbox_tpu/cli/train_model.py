@@ -86,6 +86,12 @@ def main(argv=None):
         choices=["unet", "unet_bigger", "unet_overfit", "unet_activation"],
     )
     parser.add_argument("--init_features", type=int, default=32)
+    parser.add_argument(
+        "--norm", type=str, default="batch",
+        choices=["batch", "group", "none"],
+        help="UNet normalization: 'batch' = reference BatchNorm2d "
+        "parity (default); 'group' = GroupNorm, no running stats — "
+        "faster train step on TPU (see BASELINE.md)")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=0)
@@ -113,6 +119,7 @@ def main(argv=None):
             "weight_decay": tc.weight_decay,
             "model_type": tc.model_type,
             "init_features": tc.init_features,
+            "norm": tc.norm,
             "compute_dtype": tc.compute_dtype,
             "seed": tc.seed,
             "mesh_shape": (",".join(map(str, tc.mesh_shape))
@@ -179,7 +186,8 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     model = create_model(
-        args.model_type, init_features=args.init_features, dtype=dtype
+        args.model_type, init_features=args.init_features, dtype=dtype,
+        norm=args.norm,
     )
     lr = args.new_lr if (args.checkpoint_path and args.new_lr) else args.lr
     mesh_shape = (tuple(int(x) for x in str(args.mesh_shape).split(","))

@@ -59,6 +59,10 @@ class TrainingConfig:
     model_type: str = "unet"
     in_channels: int = 3
     init_features: int = 32
+    # beyond-reference: UNet normalization layer ("batch" = reference
+    # BatchNorm2d parity; "group" drops running stats for better TPU
+    # step fusion; "none")
+    norm: str = "batch"
     freeze_encoders: bool = True
 
     # Training hyperparameters
@@ -150,6 +154,11 @@ class TrainingConfig:
             raise ValueError(
                 f"Invalid compute_dtype '{self.compute_dtype}'. "
                 "Must be 'float32' or 'bfloat16'"
+            )
+        if self.norm not in ("batch", "group", "none"):
+            raise ValueError(
+                f"Invalid norm '{self.norm}'. "
+                "Must be one of: ['batch', 'group', 'none']"
             )
         for name in ("num_epochs", "batch_size", "learning_rate", "flag_sigma",
                      "patch_size"):

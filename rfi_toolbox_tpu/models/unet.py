@@ -19,8 +19,15 @@ Variants (matching the reference surface):
   (unet.py:120-196)
 - ``UNetDifferentActivation``: 4 stages, pluggable activation
   (unet.py:198-268)
+
+Beyond the reference, every variant takes ``norm``: ``"batch"``
+(default — the reference's BatchNorm2d semantics), ``"group"``
+(GroupNorm: no running-stats collection, no cross-batch stats passes —
+the train step fuses better on TPU; see BASELINE.md roofline notes), or
+``"none"``.
 """
 
+import math
 from collections.abc import Callable
 
 import flax.linen as nn
@@ -39,22 +46,32 @@ __all__ = [
 
 
 class DoubleConv(nn.Module):
-    """(Conv3x3 -> BN -> act) x 2."""
+    """(Conv3x3 -> norm -> act) x 2."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
     activation: Callable = nn.relu
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
-                        use_bias=False)(x)
-            # momentum 0.9 == torch BatchNorm2d's default (the flax
-            # default 0.99 leaves running stats uncalibrated in short runs)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, dtype=self.dtype
-            )(x)
+                        use_bias=self.norm == "none")(x)
+            if self.norm == "batch":
+                # momentum 0.9 == torch BatchNorm2d's default (the flax
+                # default 0.99 leaves running stats uncalibrated in short
+                # runs)
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    dtype=self.dtype,
+                )(x)
+            elif self.norm == "group":
+                x = nn.GroupNorm(
+                    num_groups=math.gcd(self.features, 8), dtype=self.dtype
+                )(x)
+            elif self.norm != "none":
+                raise ValueError(f"unknown norm: {self.norm!r}")
             x = self.activation(x)
         return x
 
@@ -68,10 +85,12 @@ class Encoder(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     activation: Callable = nn.relu
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        skip = DoubleConv(self.features, self.dtype, self.activation)(x, train)
+        skip = DoubleConv(self.features, self.dtype, self.activation,
+                          self.norm)(x, train)
         pooled = nn.max_pool(skip, (2, 2), strides=(2, 2))
         return pooled, skip
 
@@ -82,6 +101,7 @@ class Decoder(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     activation: Callable = nn.relu
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -89,7 +109,8 @@ class Decoder(nn.Module):
             self.features, (2, 2), strides=(2, 2), dtype=self.dtype
         )(x)
         x = jnp.concatenate([up, skip], axis=-1)
-        return DoubleConv(self.features, self.dtype, self.activation)(x, train)
+        return DoubleConv(self.features, self.dtype, self.activation,
+                          self.norm)(x, train)
 
 
 class _UNetBase(nn.Module):
@@ -101,6 +122,7 @@ class _UNetBase(nn.Module):
     dtype: jnp.dtype = jnp.float32
     activation: Callable = nn.relu
     final_sigmoid: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -110,13 +132,16 @@ class _UNetBase(nn.Module):
 
         skips = []
         for i in range(self.depth):
-            x, skip = Encoder(f * 2**i, self.dtype, self.activation)(x, train)
+            x, skip = Encoder(f * 2**i, self.dtype, self.activation,
+                              self.norm)(x, train)
             skips.append(skip)
 
-        x = DoubleConv(f * 2**self.depth, self.dtype, self.activation)(x, train)
+        x = DoubleConv(f * 2**self.depth, self.dtype, self.activation,
+                       self.norm)(x, train)
 
         for i in reversed(range(self.depth)):
-            x = Decoder(f * 2**i, self.dtype, self.activation)(x, skips[i], train)
+            x = Decoder(f * 2**i, self.dtype, self.activation,
+                        self.norm)(x, skips[i], train)
 
         x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
         x = x.astype(in_dtype if jnp.issubdtype(in_dtype, jnp.floating)

@@ -97,7 +97,8 @@ class CompiledPredictor:
         if model is None:
             from .models import UNet
 
-            model = UNet(init_features=int(meta.get("init_features", 32)))
+            model = UNet(init_features=int(meta.get("init_features", 32)),
+                         norm=meta.get("norm", "batch"))
         if "input_shape" not in kwargs and "in_channels" in meta:
             kwargs["input_shape"] = (128, 128, int(meta["in_channels"]))
         if "threshold" not in kwargs and "best_threshold" in meta:

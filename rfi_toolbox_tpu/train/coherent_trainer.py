@@ -107,6 +107,14 @@ class CoherentTrainer:
             — XLA partitions the vmap and inserts the grad psum).
             ``batch_size`` must divide by the axis size. Numerics are
             identical to the single-device run (same key stream).
+        norm: UNet normalization for the default-constructed model.
+            "batch" is reference parity but its running-stats
+            calibration is UNSTABLE on this heavy-tailed task (held-out
+            eval-mode IoU oscillated 0.51-0.86 across a 64k-step
+            checkpoint ladder while train-mode quality rose
+            monotonically to 0.90 — BASELINE.md round-3 notes);
+            "group" (GroupNorm) has no train/eval inconsistency and is
+            the recommended setting for long runs.
     """
 
     def __init__(
@@ -122,6 +130,7 @@ class CoherentTrainer:
         seed=2,
         dtype="auto",
         mesh=None,
+        norm="batch",
     ):
         if dtype == "auto":
             dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
@@ -129,7 +138,7 @@ class CoherentTrainer:
         if model is None:
             from ..models.unet import UNet
 
-            model = UNet(init_features=init_features, dtype=dtype)
+            model = UNet(init_features=init_features, dtype=dtype, norm=norm)
         self.model = model
         self.init_features = model.init_features
         self.size = size
@@ -378,6 +387,7 @@ class CoherentTrainer:
         meta = {
             "model": "UNet",
             "init_features": self.init_features,
+            "norm": getattr(self.model, "norm", "batch"),
             "in_channels": 8,
             "normalization": "robust_scale",
             "normalization_scope": "per_sample",
@@ -445,6 +455,7 @@ class CoherentTrainer:
 
         params, batch_stats, meta = load_params(path)
         size = int(meta.get("train_size", [256, 256])[0])
+        kwargs.setdefault("norm", meta.get("norm", "batch"))
         trainer = cls(init_features=meta["init_features"], size=size,
                       **kwargs)
         trainer._build_tx(36_000)

@@ -110,6 +110,25 @@ def test_train_and_evaluate_cli(tiny_dataset, tmp_path):
     assert all(0.0 <= v <= 1.0 for v in metrics.values())
 
 
+def test_train_cli_groupnorm_roundtrip(tiny_dataset, tmp_path):
+    """--norm group trains a GroupNorm UNet (no batch_stats) and the
+    evaluate path reconstructs it via norm='group' (beyond-reference
+    TPU fast mode)."""
+    result = train_main([
+        "--train_dir", str(tiny_dataset / "train"),
+        "--val_dir", str(tiny_dataset / "val"),
+        "--batch_size", "2", "--num_epochs", "1", "--lr", "1e-3",
+        "--checkpoint_dir", str(tmp_path / "ckpt_gn"),
+        "--init_features", "4", "--compute_dtype", "float32",
+        "--norm", "group",
+    ])
+    metrics = evaluate_model(
+        result["final_checkpoint"], str(tiny_dataset / "val"),
+        batch_size=2, init_features=4, norm="group",
+    )
+    assert all(0.0 <= v <= 1.0 for v in metrics.values())
+
+
 def test_evaluate_npz_metadata_defaults_and_tta(tiny_dataset, tmp_path):
     """evaluate_model on a .npz snapshot defaults init_features and
     threshold from the snapshot metadata (the shipped snapshots record

@@ -74,6 +74,26 @@ def test_export_snapshot_contract(tiny_trainer, tmp_path):
     assert out.shape == (1, 32, 32, 1)
 
 
+def test_groupnorm_trainer_roundtrip(tmp_path):
+    """norm='group' trains (no batch_stats collection — BatchNorm's
+    running-stats calibration is unstable on this heavy-tailed task,
+    BASELINE.md round-3 notes), records norm in export metadata, and
+    load() reconstructs the GroupNorm model from it."""
+    tr = CoherentTrainer(init_features=4, size=32, batch_size=2, seed=2,
+                         norm="group")
+    tr.fit(num_steps=2, fused_steps=2)
+    assert tr.batch_stats == {}
+    path = tr.export(tmp_path / "gn.npz", best_threshold=0.5)
+    _, stats, meta = load_params(path)
+    assert meta["norm"] == "group"
+    assert stats == {}
+    loaded = CoherentTrainer.load(path)
+    assert loaded.model.norm == "group"
+    rep = loaded.evaluate(num_batches=1, eval_batch=1,
+                          thresholds=[0.5])
+    assert 0.0 <= rep["best_iou"] <= 1.0
+
+
 def test_checkpoint_resume_continues_identically(tmp_path):
     """restore_checkpoint + fit == uninterrupted fit: same optimizer
     state, same EMA, same sample key stream (fold_in by step index)."""

@@ -35,6 +35,9 @@ def test_training_config_validation():
         TrainingConfig(device="gpu")
     with pytest.raises(ValueError, match="batch_size"):
         TrainingConfig(batch_size=0)
+    with pytest.raises(ValueError, match="norm"):
+        TrainingConfig(norm="layer")
+    TrainingConfig(norm="group")
     TrainingConfig(stretch=None, device="tpu")  # nulls allowed
 
 

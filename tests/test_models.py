@@ -85,3 +85,25 @@ def test_create_model_registry():
     assert isinstance(create_model("unet_activation"), UNetDifferentActivation)
     with pytest.raises(ValueError, match="Unknown model type"):
         create_model("nope")
+
+
+def test_norm_variants_forward_and_grad():
+    """norm='group'/'none' carry no batch_stats collection and are
+    trainable (beyond-reference TPU fast modes; 'batch' is the parity
+    default)."""
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    for norm in ("group", "none"):
+        model = create_model("unet", init_features=4, norm=norm)
+        variables = model.init(key, x, train=False)
+        assert set(variables) == {"params"}  # no running stats
+
+        def loss(p):
+            out = model.apply({"params": p}, x, train=True)
+            return jnp.mean(out**2)
+
+        g = jax.grad(loss)(variables["params"])
+        assert all(np.all(np.isfinite(np.asarray(v)))
+                   for v in jax.tree.leaves(g))
+    with pytest.raises(ValueError, match="unknown norm"):
+        UNet(init_features=4, norm="layer").init(key, x)
