@@ -107,3 +107,19 @@ def test_norm_variants_forward_and_grad():
                    for v in jax.tree.leaves(g))
     with pytest.raises(ValueError, match="unknown norm"):
         UNet(init_features=4, norm="layer").init(key, x)
+
+
+def test_groupnorm_train_eval_consistent():
+    """norm='group' computes identical outputs in train and eval mode —
+    the property whose absence makes BatchNorm's running-stats
+    calibration unstable on heavy-tailed RFI data (BASELINE.md round-3
+    finding: 64k-step coherent run hit IoU 0.90 in train mode but
+    oscillated 0.51-0.86 in eval mode)."""
+    key = jax.random.key(1)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    model = create_model("unet", init_features=4, norm="group")
+    variables = model.init(key, x, train=False)
+    out_eval = model.apply(variables, x, train=False)
+    out_train = model.apply(variables, x, train=True)
+    np.testing.assert_array_equal(np.asarray(out_eval),
+                                  np.asarray(out_train))
