@@ -136,12 +136,20 @@ def test_pretrained_8ch_coherent_unet(rng):
 WEIGHTS_24 = Path(__file__).parent.parent / "pretrained" / "unet24_coherent8ch.npz"
 
 
+WEIGHTS_24GN = (Path(__file__).parent.parent / "pretrained"
+                / "unet24gn_coherent8ch.npz")
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "weights,floor,tta_floor",
     [
         pytest.param(WEIGHTS_8CH, 0.83, None, id="unet16"),
         pytest.param(WEIGHTS_24, 0.86, 0.865, id="unet24"),
+        # GroupNorm 64k flagship: no running-stats calibration risk
+        # (full 8-batch TPU means 0.9339 plain / 0.9361 TTA @ 0.45;
+        # CPU 1-batch 0.9308 / 0.9334)
+        pytest.param(WEIGHTS_24GN, 0.925, 0.928, id="unet24gn"),
     ],
 )
 def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
@@ -166,7 +174,8 @@ def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
     params, batch_stats, meta = load_params(weights)
     size = int(meta.get("train_size", [256, 256])[0])
     th = float(meta.get("best_threshold", 0.5))
-    model = UNet(init_features=meta["init_features"])
+    model = UNet(init_features=meta["init_features"],
+                 norm=meta.get("norm", "batch"))
     x, gt = _coherent8ch_batch(jax.random.key(10_000), 8, size)
 
     def probs(a):
