@@ -491,7 +491,7 @@ def bench_flag_model8():
     B, C, T = 2, 1024, 1024
     rng = np.random.default_rng(0)
     pred = CompiledPredictor.from_snapshot(
-        "pretrained/unet24_coherent8ch.npz", batch_size=64,
+        "pretrained/unet24gn_coherent8ch.npz", batch_size=64,
     )
     base = rng.normal(1.0, 0.1, (B, 4, C, T))
     base[:, :, 100:110, :] += 3e3
