@@ -29,16 +29,25 @@ def _predictor(model_path, in_channels, model_type, init_features, shape):
     from rfi_toolbox_tpu.models import create_model
     from rfi_toolbox_tpu.train import Trainer
 
-    model = create_model(model_type, init_features=init_features)
-    trainer = Trainer(model)
     if str(model_path).endswith(".npz"):
         from rfi_toolbox_tpu.train import load_params
 
-        params, batch_stats, _ = load_params(model_path)
+        # snapshot metadata wins over the CLI defaults (same contract
+        # as evaluate_rfi_model / serving.from_snapshot): the shipped
+        # snapshots record init_features and norm
+        params, batch_stats, meta = load_params(model_path)
+        model = create_model(
+            model_type,
+            init_features=meta.get("init_features", init_features),
+            norm=meta.get("norm", "batch"),
+        )
+        trainer = Trainer(model)
         trainer.state = trainer._init_state(shape)
         trainer.state = trainer.state.replace(params=params,
                                               batch_stats=batch_stats)
     else:
+        model = create_model(model_type, init_features=init_features)
+        trainer = Trainer(model)
         trainer.restore(model_path, shape)
 
     def predict(x):  # x: (C, F, T)

@@ -165,6 +165,28 @@ def test_viewer_prediction_channel_with_model(tiny_dataset, tmp_path,
     assert pred2.shape == (32, 32)
 
 
+def test_static_grid_snapshot_metadata_defaults(tiny_dataset, tmp_path):
+    """save_static_grid reconstructs the model from .npz snapshot
+    metadata (init_features + norm) — the CLI default init_features=32
+    would otherwise shape-mismatch this f=4 GroupNorm snapshot."""
+    from rfi_toolbox_tpu.models import create_model
+    from rfi_toolbox_tpu.train import Trainer, export_params
+    from rfi_toolbox_tpu.visualization.visualize import save_static_grid
+
+    model = create_model("unet", init_features=4, norm="group")
+    trainer = Trainer(model)
+    trainer.state = trainer._init_state((32, 32, 8))
+    snap = tmp_path / "tiny_gn.npz"
+    export_params(trainer.state, snap,
+                  metadata={"init_features": 4, "norm": "group"})
+
+    out = save_static_grid(
+        str(tiny_dataset / "train"), str(tmp_path / "grid.png"),
+        model_path=str(snap), num_samples=1,
+    )
+    assert (tmp_path / "grid.png").exists(), out
+
+
 def test_viewer_real_bokeh(tiny_dataset):
     """When real Bokeh is installed, the document actually builds."""
     pytest.importorskip("bokeh")
