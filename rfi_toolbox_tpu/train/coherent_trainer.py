@@ -357,6 +357,11 @@ class CoherentTrainer:
             )
             return jax.nn.sigmoid(out[..., 0])
 
+        return self._sweep(probs_fn, num_batches, eval_batch, start_key,
+                           thresholds, tta)
+
+    def _sweep(self, probs_fn, num_batches, eval_batch, start_key,
+               thresholds, tta):
         sums = {float(t): [] for t in thresholds}
         for j in range(num_batches):
             x, gt = coherent_batch(random.key(start_key + j), eval_batch,
@@ -376,6 +381,42 @@ class CoherentTrainer:
         best_t = max(ious, key=ious.get)
         return {"best_threshold": best_t, "best_iou": ious[best_t],
                 "ious": ious}
+
+    def calibration_gap(self, num_batches=4, eval_batch=8,
+                        start_key=10_000, thresholds=None, use_ema=True):
+        """BatchNorm health check: held-out best-IoU in eval mode
+        (running averages) MINUS train mode (batch statistics).
+
+        A well-calibrated model has |gap| near 0; a large negative gap
+        means the running averages track no typical batch and the
+        snapshot's eval-mode quality is unreliable — the failure the
+        64k BatchNorm coherent run exposed (train-mode 0.90 vs
+        eval-mode 0.56; BASELINE.md round-3 finding). GroupNorm models
+        return exactly 0.0 by construction. Returns {'gap',
+        'eval_mode', 'train_mode'} (the *_mode values are evaluate()
+        reports)."""
+        if thresholds is None:
+            thresholds = np.round(np.arange(0.2, 0.75, 0.05), 2)
+        params, batch_stats = self._eval_params(use_ema)
+
+        @jax.jit
+        def probs_batchstats(x):
+            out, _ = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jax.nn.sigmoid(out[..., 0])
+
+        eval_mode = self.evaluate(num_batches, eval_batch, start_key,
+                                  thresholds, use_ema=use_ema)
+        train_mode = self._sweep(probs_batchstats, num_batches,
+                                 eval_batch, start_key, thresholds,
+                                 tta=False)
+        return {
+            "gap": eval_mode["best_iou"] - train_mode["best_iou"],
+            "eval_mode": eval_mode,
+            "train_mode": train_mode,
+        }
 
     # -- persistence --------------------------------------------------------
     def export(self, path, best_threshold=0.5, use_ema=True, extra_meta=None):

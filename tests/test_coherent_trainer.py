@@ -94,6 +94,31 @@ def test_groupnorm_trainer_roundtrip(tmp_path):
     assert 0.0 <= rep["best_iou"] <= 1.0
 
 
+def test_calibration_gap_zero_for_groupnorm():
+    """calibration_gap (the BatchNorm health check that exposed the
+    64k eval-mode collapse) is exactly 0 for GroupNorm models — train
+    and eval modes are the same function."""
+    tr = CoherentTrainer(init_features=4, size=32, batch_size=2, seed=2,
+                         norm="group")
+    tr.fit(num_steps=2, fused_steps=2)
+    rep = tr.calibration_gap(num_batches=1, eval_batch=2,
+                             thresholds=[0.4, 0.5])
+    assert rep["gap"] == 0.0
+    assert rep["eval_mode"]["ious"] == rep["train_mode"]["ious"]
+
+
+def test_calibration_gap_reports_batchnorm_delta():
+    """For a BatchNorm model the two modes are different functions —
+    the report carries both sweeps (a barely-trained model's gap is
+    just required to be finite and the structure complete)."""
+    tr = CoherentTrainer(init_features=4, size=32, batch_size=2, seed=2)
+    tr.fit(num_steps=2, fused_steps=2)
+    rep = tr.calibration_gap(num_batches=1, eval_batch=2,
+                             thresholds=[0.5])
+    assert set(rep) == {"gap", "eval_mode", "train_mode"}
+    assert np.isfinite(rep["gap"])
+
+
 def test_checkpoint_resume_continues_identically(tmp_path):
     """restore_checkpoint + fit == uninterrupted fit: same optimizer
     state, same EMA, same sample key stream (fold_in by step index)."""
