@@ -122,6 +122,12 @@ def main(argv=None):
                         help="Evaluate a SOLOLite instance snapshot on "
                         "fixed-seed held-out synthetic batches instead "
                         "of a semantic dataset dir")
+    parser.add_argument("--coherent", action="store_true",
+                        help="Evaluate a coherent-8ch UNet snapshot on "
+                        "the held-out simulator key stream (the "
+                        "pretrained-gate convention: keys 10_000+, "
+                        "disjoint from training) instead of a dataset "
+                        "dir; prints the IoU threshold sweep")
     parser.add_argument("--num_images", type=int, default=32)
     parser.add_argument("--event_config", type=str, default=None,
                         help="YAML/JSON rfi_config file for --instance "
@@ -143,6 +149,25 @@ def main(argv=None):
     from rfi_toolbox_tpu.utils.platform import configure_platform
 
     configure_platform(args.device)
+
+    if args.coherent:
+        if args.instance:
+            parser.error("--coherent and --instance are exclusive")
+        from rfi_toolbox_tpu.train import CoherentTrainer
+
+        trainer = CoherentTrainer.load(args.model_path)
+        num_batches = max(1, args.num_images // args.batch_size)
+        results = trainer.evaluate(num_batches=num_batches,
+                                   eval_batch=args.batch_size,
+                                   tta=args.tta)
+        print("Coherent held-out IoU sweep "
+              f"({num_batches * args.batch_size} samples"
+              f"{', TTA' if args.tta else ''}):")
+        for t, iou in results["ious"].items():
+            print(f"  threshold {t}: {iou:.4f}")
+        print(f"  best: {results['best_iou']:.4f} @ "
+              f"{results['best_threshold']}")
+        return results
 
     if args.instance:
         if args.tta or args.threshold is not None:

@@ -94,6 +94,25 @@ def test_groupnorm_trainer_roundtrip(tmp_path):
     assert 0.0 <= rep["best_iou"] <= 1.0
 
 
+def test_evaluate_cli_coherent_sweep(tmp_path, capsys):
+    """evaluate_rfi_model --coherent runs the held-out simulator sweep
+    from a snapshot (CLI parity for the pretrained-gate convention)."""
+    from rfi_toolbox_tpu.cli.evaluate_model import main
+
+    tr = CoherentTrainer(init_features=4, size=32, batch_size=2, seed=2,
+                         norm="group")
+    tr.fit(num_steps=2, fused_steps=2)
+    path = tr.export(tmp_path / "tiny.npz", best_threshold=0.5)
+
+    results = main(["--model_path", str(path), "--coherent",
+                    "--num_images", "2", "--batch_size", "2",
+                    "--device", "cpu"])
+    assert 0.0 <= results["best_iou"] <= 1.0
+    out = capsys.readouterr().out
+    assert "Coherent held-out IoU sweep" in out
+    assert "best:" in out
+
+
 def test_calibration_gap_zero_for_groupnorm():
     """calibration_gap (the BatchNorm health check that exposed the
     64k eval-mode collapse) is exactly 0 for GroupNorm models — train
