@@ -479,10 +479,12 @@ def bench_serving():
 def bench_flag_model8():
     """Coherent 8-channel model flagging throughput: (B, 4, 1024, 1024)
     complex visibilities -> patchify all 4 pols jointly -> per-patch
-    robust scale -> UNet24 AOT forward -> unpatchify, Mvis/s — the
+    robust scale -> UNet16-GN AOT forward -> unpatchify, Mvis/s — the
     production `flag_measurement_set(method='model8')` compute path
     minus table I/O (includes the host hop at the predictor boundary,
-    which on this container rides the remote tunnel)."""
+    which on this container rides the remote tunnel). Uses the f=16
+    GroupNorm tier: held-out IoU 0.9332 matches the f=24 flagship's
+    0.9339 at 2.25x cheaper forward (BASELINE.md GN ladder)."""
     import jax
 
     from rfi_toolbox_tpu.io import flag_waterfalls_coherent
@@ -491,7 +493,7 @@ def bench_flag_model8():
     B, C, T = 2, 1024, 1024
     rng = np.random.default_rng(0)
     pred = CompiledPredictor.from_snapshot(
-        "pretrained/unet24gn_coherent8ch.npz", batch_size=64,
+        "pretrained/unet16gn_coherent8ch.npz", batch_size=64,
     )
     base = rng.normal(1.0, 0.1, (B, 4, C, T))
     base[:, :, 100:110, :] += 3e3
@@ -509,7 +511,7 @@ def bench_flag_model8():
     print(json.dumps({
         "metric": "flag_model8_megavis_per_sec",
         "value": round(value, 2),
-        "unit": "Mvis/s (4-pol joint UNet24 flagging, 1024^2 waterfalls)",
+        "unit": "Mvis/s (4-pol joint UNet16-GN flagging, 1024^2 waterfalls)",
         "windows": len(windows),
         "selection": "median",
         "window_values": [round(w, 2) for w in windows],

@@ -63,7 +63,7 @@ def main():
         from rfi_toolbox_tpu.serving import CompiledPredictor
 
         predictor = CompiledPredictor.from_snapshot(
-            "pretrained/unet24gn_coherent8ch.npz", batch_size=32
+            "pretrained/unet16gn_coherent8ch.npz", batch_size=32
         )
         result = flag_measurement_set(
             ms, method="model8", predictor=predictor, patch_size=128
