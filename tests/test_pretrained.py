@@ -140,6 +140,8 @@ WEIGHTS_24GN = (Path(__file__).parent.parent / "pretrained"
                 / "unet24gn_coherent8ch.npz")
 WEIGHTS_16GN = (Path(__file__).parent.parent / "pretrained"
                 / "unet16gn_coherent8ch.npz")
+WEIGHTS_32GN = (Path(__file__).parent.parent / "pretrained"
+                / "unet32gn_coherent8ch.npz")
 
 
 @pytest.mark.slow
@@ -156,6 +158,10 @@ WEIGHTS_16GN = (Path(__file__).parent.parent / "pretrained"
         # 2.25x cheaper inference (TPU means 0.9332 / 0.9351 @ 0.5;
         # CPU 1-batch 0.9305 / 0.9321)
         pytest.param(WEIGHTS_16GN, 0.924, 0.926, id="unet16gn"),
+        # GroupNorm f=32 max-quality tier: best IoU on record
+        # (TPU means 0.9369 plain / 0.9384 TTA @ 0.5;
+        # CPU 1-batch 0.9353 / 0.9366)
+        pytest.param(WEIGHTS_32GN, 0.929, 0.930, id="unet32gn"),
     ],
 )
 def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
