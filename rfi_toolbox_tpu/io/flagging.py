@@ -148,7 +148,10 @@ def flag_waterfalls_coherent(vis4, predictor, patch_size=128,
                          f"got {vis4.shape}")
     b, _, c, t = vis4.shape
     images = _coherent_images(vis4, patch_size)
-    preds = jnp.asarray(predictor(np.asarray(images)))
+    # hand the predictor the device array directly: CompiledPredictor
+    # runs its device-resident path (no host round trip); plain-numpy
+    # predictors np.asarray() it themselves, so both kinds work
+    preds = jnp.asarray(predictor(images))
     preds = preds if preds.dtype == bool else preds > threshold
     flags = P.unpatchify_batch(preds.astype(jnp.float32), b, c, t) > 0
     return flags

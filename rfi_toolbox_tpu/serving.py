@@ -115,13 +115,19 @@ class CompiledPredictor:
 
     def __call__(self, images):
         """(N, H, W, C) float -> (N, H, W) bool; any N (chunked+padded
-        to the compiled batch size)."""
+        to the compiled batch size).
+
+        Accepts host (numpy) OR device (jax.Array) input. Device input
+        stays device-resident end to end — no host round trip — and the
+        result is a device array; this is the production flagging path
+        (``flag_waterfalls_coherent`` computes patches on device, so
+        bouncing them through host numpy would cost two full transfers
+        per request over whatever link fronts the TPU). Host input keeps
+        returning host numpy."""
+        if isinstance(images, jax.Array):
+            return self._call_device(images)
         images = np.asarray(images, dtype=np.float32)
-        if images.shape[1:] != self.input_shape:
-            raise ValueError(
-                f"expected (N, {', '.join(map(str, self.input_shape))}), "
-                f"got {images.shape}"
-            )
+        self._check_shape(images.shape)
         n = len(images)
         bs = self.batch_size
         out = []
@@ -138,3 +144,31 @@ class CompiledPredictor:
         return np.concatenate(out) if out else np.zeros(
             (0, *self.input_shape[:2]), bool
         )
+
+    def _check_shape(self, shape):
+        if tuple(shape[1:]) != self.input_shape:
+            raise ValueError(
+                f"expected (N, {', '.join(map(str, self.input_shape))}), "
+                f"got {tuple(shape)}"
+            )
+
+    def _call_device(self, images):
+        """Device-resident request path: pad/chunk/forward/concat all on
+        device; returns a (N, H, W) bool jax.Array."""
+        self._check_shape(images.shape)
+        images = jnp.asarray(images, jnp.float32)
+        n = images.shape[0]
+        bs = self.batch_size
+        if n == 0:
+            return jnp.zeros((0, *self.input_shape[:2]), bool)
+        pad = (-n) % bs
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad, *self.input_shape), jnp.float32)]
+            )
+        out = [
+            self._compiled(self._variables, images[s : s + bs])
+            for s in range(0, n + pad, bs)
+        ]
+        preds = out[0] if len(out) == 1 else jnp.concatenate(out)
+        return preds[:n]

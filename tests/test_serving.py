@@ -79,6 +79,53 @@ def test_shape_mismatch_raises(predictor):
         pred(np.zeros((2, 16, 16, 3), np.float32))
 
 
+def test_device_input_stays_on_device(predictor, rng):
+    """A jax.Array request runs the device-resident path: the result is
+    a device array, bit-identical to the host-numpy path, for full,
+    partial, multi-chunk, and empty batches."""
+    import jax
+    import jax.numpy as jnp
+
+    pred, _, _ = predictor
+    for n in (1, 3, 4, 7, 9):
+        x = rng.normal(size=(n, 32, 32, 3)).astype(np.float32)
+        dev = pred(jnp.asarray(x))
+        assert isinstance(dev, jax.Array) and dev.dtype == bool
+        assert dev.shape == (n, 32, 32)
+        np.testing.assert_array_equal(np.asarray(dev), pred(x))
+    empty = pred(jnp.zeros((0, 32, 32, 3), jnp.float32))
+    assert isinstance(empty, jax.Array) and empty.shape == (0, 32, 32)
+    with pytest.raises(ValueError, match="expected"):
+        pred(jnp.zeros((2, 16, 16, 3), jnp.float32))
+
+
+def test_flag_waterfalls_coherent_device_predictor(rng):
+    """flag_waterfalls_coherent + CompiledPredictor: the patches the
+    flagger computes on device go straight into the compiled forward
+    (no host numpy bounce), and the flags match the host-path result."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.io import flag_waterfalls_coherent
+    from rfi_toolbox_tpu.io.flagging import _coherent_images
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import create_train_state
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 32, 8))
+    pred = CompiledPredictor(
+        model, state.params, state.batch_stats,
+        input_shape=(32, 32, 8), batch_size=4,
+    )
+    vis = (rng.normal(1.0, 0.1, (2, 4, 32, 32))
+           * np.exp(1j * rng.uniform(0, 6.28, (2, 4, 32, 32)))
+           ).astype(np.complex64)
+    flags = flag_waterfalls_coherent(vis, pred, patch_size=32)
+    assert isinstance(flags, jax.Array) and flags.shape == (2, 32, 32)
+    host = pred(np.asarray(_coherent_images(jnp.asarray(vis), 32)))
+    np.testing.assert_array_equal(np.asarray(flags)[0], host[0])
+
+
 def test_plugs_into_flag_waterfalls(predictor, rng):
     from rfi_toolbox_tpu.io import flag_waterfalls
 
