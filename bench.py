@@ -481,10 +481,12 @@ def bench_flag_model8():
     complex visibilities -> patchify all 4 pols jointly -> per-patch
     robust scale -> UNet16-GN AOT forward -> unpatchify, Mvis/s — the
     production `flag_measurement_set(method='model8')` compute path
-    minus table I/O (includes the host hop at the predictor boundary,
-    which on this container rides the remote tunnel). Uses the f=16
-    GroupNorm tier: held-out IoU 0.9332 matches the f=24 flagship's
-    0.9339 at 2.25x cheaper forward (BASELINE.md GN ladder)."""
+    minus table I/O. Device-resident end to end: the predictor consumes
+    the patch array on device (CompiledPredictor's jax.Array path), so
+    the only host traffic is the complex-visibility upload and the bool
+    flag download. Uses the f=16 GroupNorm tier: held-out IoU 0.9332
+    matches the f=24 flagship's 0.9339 at 2.25x cheaper forward
+    (BASELINE.md GN ladder)."""
     import jax
 
     from rfi_toolbox_tpu.io import flag_waterfalls_coherent
