@@ -50,6 +50,81 @@ def _augment(images, labels, rng):
     return np.stack(out_i), np.stack(out_l)
 
 
+def _train_coherent(args, given):
+    """``--coherent``: train an 8-channel UNet on device-generated
+    coherent-simulator samples (the shipped-snapshot recipe —
+    train.CoherentTrainer), with Orbax checkpoint/resume, a closing
+    held-out IoU threshold sweep, and optional .npz export."""
+    from pathlib import Path
+
+    from rfi_toolbox_tpu.train import CoherentTrainer
+
+    mesh = None
+    if args.mesh_shape:
+        from rfi_toolbox_tpu.parallel import make_mesh
+
+        shape = tuple(int(x) for x in str(args.mesh_shape).split(","))
+        if len(shape) > 1 and shape[1] != 1:
+            raise SystemExit(
+                "--coherent parallelism is data-only; use "
+                f"--mesh_shape {shape[0] * shape[1]} (got {args.mesh_shape})"
+            )
+        mesh = make_mesh((shape[0],), axis_names=("data",))
+        logging.info("mesh: data=%d", shape[0])
+
+    trainer = CoherentTrainer(
+        init_features=(args.init_features if "init_features" in given
+                       else 24),
+        size=args.size,
+        batch_size=args.batch_size if "batch_size" in given else 16,
+        learning_rate=args.lr if "lr" in given else None,
+        weight_decay=args.weight_decay,
+        ema_decay=args.ema_decay,
+        seed=args.seed,
+        mesh=mesh,
+        norm=args.norm,
+    )
+
+    ckpt_dir = Path(args.checkpoint_dir)
+    if args.auto_resume and ckpt_dir.exists():
+        ckpts = sorted(
+            (p for p in ckpt_dir.glob("step_*") if p.is_dir()),
+            key=lambda p: int(p.name.split("_")[1]),
+        )
+        if ckpts:
+            trainer.restore_checkpoint(ckpts[-1],
+                                       num_steps_hint=args.num_steps)
+            logging.info("resumed from %s at step %d", ckpts[-1],
+                         trainer.step)
+
+    remaining = args.num_steps - trainer.step
+    if remaining > 0:
+        trainer.fit(
+            remaining,
+            fused_steps=args.fused_steps,
+            log_every=args.log_every,
+            checkpoint_dir=ckpt_dir,
+            checkpoint_every=args.checkpoint_every,
+            callback=lambda step, loss: logging.info(
+                "step %d - loss %.4f", step, loss),
+        )
+    else:
+        logging.info("checkpoint already at step %d >= --num_steps %d; "
+                     "skipping training", trainer.step, args.num_steps)
+
+    report = trainer.evaluate(num_batches=args.eval_batches,
+                              eval_batch=min(trainer.batch_size, 8))
+    logging.info("held-out IoU sweep: best %.4f @ threshold %s",
+                 report["best_iou"], report["best_threshold"])
+    result = {"steps": trainer.step, "eval": report}
+    if args.export:
+        trainer.export(args.export,
+                       best_threshold=report["best_threshold"])
+        logging.info("snapshot exported to %s", args.export)
+        result["export"] = args.export
+    return result
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Train a UNet model for RFI masking"
@@ -106,7 +181,48 @@ def main(argv=None):
     parser.add_argument("--auto_resume", action="store_true",
                         help="Resume from the newest checkpoint in "
                         "--checkpoint_dir if one exists")
+    parser.add_argument(
+        "--coherent", action="store_true",
+        help="Train the coherent 8-channel pipeline with ON-DEVICE "
+        "sample generation (CoherentTrainer — the recipe behind the "
+        "shipped pretrained/unet*_coherent8ch.npz snapshots) instead "
+        "of loading a dataset directory. Mode defaults change to the "
+        "recipe's: init_features 24, batch_size 16, warmup-cosine "
+        "learning rate (an explicit --lr overrides with a constant). "
+        "norm='group' is recommended for long runs (BatchNorm "
+        "running-stats calibration is unstable on this heavy-tailed "
+        "task; see BASELINE.md)")
+    parser.add_argument("--num_steps", type=int, default=36_000,
+                        help="[--coherent] total optimization steps")
+    parser.add_argument("--size", type=int, default=256,
+                        help="[--coherent] square sample size")
+    parser.add_argument("--ema_decay", type=float, default=0.999,
+                        help="[--coherent] EMA decay for the exported "
+                        "weights (0 disables)")
+    parser.add_argument("--fused_steps", type=int, default=20,
+                        help="[--coherent] generate+optimize pairs per "
+                        "lax.scan dispatch")
+    parser.add_argument("--checkpoint_every", type=int, default=4000,
+                        help="[--coherent] steps between Orbax "
+                        "checkpoints in --checkpoint_dir")
+    parser.add_argument("--log_every", type=int, default=1000,
+                        help="[--coherent] steps between loss logs")
+    parser.add_argument("--eval_batches", type=int, default=4,
+                        help="[--coherent] held-out eval batches for "
+                        "the closing IoU threshold sweep")
+    parser.add_argument("--export", type=str, default=None,
+                        help="[--coherent] write an inference .npz "
+                        "snapshot here after training (EMA weights, "
+                        "best_threshold from the closing sweep)")
     args = parser.parse_args(argv)
+
+    # flags the user passed explicitly (vs argparse defaults) — used
+    # for YAML-config precedence and the --coherent recipe defaults
+    import sys
+
+    raw_args = argv if argv is not None else sys.argv[1:]
+    given = {a.split("=")[0].lstrip("-").replace("-", "_")
+             for a in raw_args if a.startswith("--")}
 
     if args.config:
         from rfi_toolbox_tpu.config import ConfigLoader
@@ -126,11 +242,6 @@ def main(argv=None):
                            if tc.mesh_shape else None),
         }
         # apply YAML values where the user didn't pass an explicit flag
-        import sys
-
-        raw_args = argv if argv is not None else sys.argv[1:]
-        given = {a.split("=")[0].lstrip("-").replace("-", "_")
-                 for a in raw_args if a.startswith("--")}
         for k, v in defaults.items():
             if k not in given:
                 setattr(args, k, v)
@@ -140,6 +251,10 @@ def main(argv=None):
     from rfi_toolbox_tpu.utils.platform import configure_platform
 
     configure_platform(args.device)
+
+    if args.coherent:
+        return _train_coherent(args, given)
+
     import jax.numpy as jnp
 
     from rfi_toolbox_tpu.data import ArrayDataset

@@ -199,6 +199,40 @@ def test_train_resume_cli(tiny_dataset, tmp_path):
     assert r2["history"][0]["epoch"] == 2  # resumed past epoch 1
 
 
+def test_train_cli_coherent_export_and_resume(tmp_path):
+    """--coherent trains on device-generated coherent samples end to
+    end: checkpoints land in --checkpoint_dir, the closing sweep picks
+    a threshold, --export writes a metadata-complete snapshot, and
+    --auto_resume skips training when the checkpoint already covers
+    --num_steps."""
+    snap = tmp_path / "coh.npz"
+    ck = tmp_path / "ck"
+    flags = [
+        "--coherent", "--num_steps", "6", "--fused_steps", "3",
+        "--size", "64", "--batch_size", "2", "--init_features", "4",
+        "--norm", "group", "--checkpoint_dir", str(ck),
+        "--checkpoint_every", "6", "--log_every", "3",
+        "--eval_batches", "1", "--seed", "0",
+    ]
+    res = train_main(flags + ["--export", str(snap)])
+    assert res["steps"] == 6
+    assert snap.exists()
+    assert 0.0 <= res["eval"]["best_iou"] <= 1.0
+    assert (ck / "step_6").is_dir()
+
+    from rfi_toolbox_tpu.train import load_params
+
+    _, _, meta = load_params(snap)
+    assert meta["init_features"] == 4
+    assert meta["norm"] == "group"
+    assert meta["steps"] == 6
+    assert meta["best_threshold"] == res["eval"]["best_threshold"]
+
+    # checkpoint already satisfies --num_steps: evaluate-only pass
+    res2 = train_main(flags + ["--auto_resume"])
+    assert res2["steps"] == 6
+
+
 def test_visualize_static_png(tiny_dataset, tmp_path):
     pytest.importorskip("matplotlib")
     from rfi_toolbox_tpu.visualization.visualize import save_static_grid
