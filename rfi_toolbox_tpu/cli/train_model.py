@@ -125,6 +125,98 @@ def _train_coherent(args, given):
     return result
 
 
+def _load_event_config(path):
+    import json
+
+    text = open(path).read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        import yaml
+
+        return yaml.safe_load(text)
+
+
+def _train_instance(args, given):
+    """``--instance``: train SOLOLite on device-generated synthetic
+    event instances (the shipped-detector recipe — train.
+    InstanceTrainer), with Orbax checkpoint/resume, a closing held-out
+    COCO-style quality eval, and optional .npz export."""
+    from pathlib import Path
+
+    import optax
+
+    from rfi_toolbox_tpu.models.instance import SOLOLite
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    features = args.init_features if "init_features" in given else 48
+    model = SOLOLite(num_classes=args.num_classes,
+                     grid_size=args.grid_size,
+                     features=features, embed_dim=features)
+    if "lr" in given:
+        lr = args.lr
+    else:
+        # the shipped recipe's schedule: a cold high-lr start collapses
+        # the mask head on dense multi-event mixes (BASELINE.md)
+        warmup = min(500, max(args.num_steps // 4, 1))
+        lr = optax.warmup_cosine_decay_schedule(
+            1e-5, 8e-4, warmup, max(args.num_steps, warmup + 1),
+            end_value=1e-5)
+    trainer = InstanceTrainer(
+        model=model,
+        patch_size=args.patch_size,
+        batch_size=args.batch_size if "batch_size" in given else 64,
+        rfi_config=(_load_event_config(args.event_config)
+                    if args.event_config else None),
+        learning_rate=lr,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+        mask_loss_stride=args.mask_loss_stride,
+    )
+
+    ckpt_dir = Path(args.checkpoint_dir)
+    if args.auto_resume and ckpt_dir.exists():
+        ckpts = sorted(
+            (p for p in ckpt_dir.glob("step_*") if p.is_dir()),
+            key=lambda p: int(p.name.split("_")[1]),
+        )
+        if ckpts:
+            trainer.restore_checkpoint(ckpts[-1])
+            logging.info("resumed from %s at step %d", ckpts[-1],
+                         trainer.step)
+
+    history = []
+    while trainer.step < args.num_steps:
+        n = min(args.checkpoint_every, args.num_steps - trainer.step)
+        res = trainer.fit(num_steps=n,
+                          log_every=min(args.log_every, n),
+                          fused_steps=args.fused_steps)
+        history.extend(res["history"])
+        trainer.save_checkpoint(ckpt_dir / f"step_{trainer.step}")
+        rec = res["history"][-1]
+        logging.info("step %d - loss %.4f (cate %.4f, mask %.4f) "
+                     "%.1f steps/s", trainer.step, rec["loss"],
+                     rec["cate_loss"], rec["mask_loss"],
+                     rec["steps_per_sec"])
+
+    result = {"steps": trainer.step, "history": history}
+    if args.eval_images > 0:
+        from rfi_toolbox_tpu.evaluation import evaluate_instance_model
+
+        q = evaluate_instance_model(
+            trainer, num_images=args.eval_images, seed=10_000,
+            iou_thresh=0.5, score_thresh=args.score_thresh)
+        logging.info("held-out: recall %.3f precision %.3f "
+                     "(%d images, IoU >= 0.5)", q["recall"],
+                     q["precision"], args.eval_images)
+        result["eval"] = q
+    if args.export:
+        trainer.save(args.export)
+        logging.info("snapshot exported to %s", args.export)
+        result["export"] = args.export
+    return result
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Train a UNet model for RFI masking"
@@ -192,29 +284,62 @@ def main(argv=None):
         "norm='group' is recommended for long runs (BatchNorm "
         "running-stats calibration is unstable on this heavy-tailed "
         "task; see BASELINE.md)")
+    parser.add_argument(
+        "--instance", action="store_true",
+        help="Train a SOLOLite instance-segmentation detector on "
+        "device-generated synthetic events (InstanceTrainer — the "
+        "recipe behind pretrained/sololite_synthetic.npz) instead of "
+        "loading a dataset directory. Mode defaults change to the "
+        "recipe's: features 48 (--init_features), batch_size 64, "
+        "warmup-cosine learning rate (explicit --lr overrides with a "
+        "constant)")
     parser.add_argument("--num_steps", type=int, default=36_000,
-                        help="[--coherent] total optimization steps")
+                        help="[--coherent/--instance] total "
+                        "optimization steps")
     parser.add_argument("--size", type=int, default=256,
                         help="[--coherent] square sample size")
     parser.add_argument("--ema_decay", type=float, default=0.999,
                         help="[--coherent] EMA decay for the exported "
                         "weights (0 disables)")
     parser.add_argument("--fused_steps", type=int, default=20,
-                        help="[--coherent] generate+optimize pairs per "
-                        "lax.scan dispatch")
+                        help="[--coherent/--instance] generate+optimize "
+                        "pairs per lax.scan dispatch")
     parser.add_argument("--checkpoint_every", type=int, default=4000,
-                        help="[--coherent] steps between Orbax "
-                        "checkpoints in --checkpoint_dir")
+                        help="[--coherent/--instance] steps between "
+                        "Orbax checkpoints in --checkpoint_dir")
     parser.add_argument("--log_every", type=int, default=1000,
-                        help="[--coherent] steps between loss logs")
+                        help="[--coherent/--instance] steps between "
+                        "loss logs")
     parser.add_argument("--eval_batches", type=int, default=4,
                         help="[--coherent] held-out eval batches for "
                         "the closing IoU threshold sweep")
     parser.add_argument("--export", type=str, default=None,
-                        help="[--coherent] write an inference .npz "
-                        "snapshot here after training (EMA weights, "
-                        "best_threshold from the closing sweep)")
+                        help="[--coherent/--instance] write an "
+                        "inference .npz snapshot here after training")
+    parser.add_argument("--patch_size", type=int, default=128,
+                        help="[--instance] square patch size")
+    parser.add_argument("--grid_size", type=int, default=8,
+                        help="[--instance] SOLO category grid")
+    parser.add_argument("--num_classes", type=int, default=6,
+                        help="[--instance] RFI event families")
+    parser.add_argument("--mask_loss_stride", type=int, default=2,
+                        help="[--instance] mask supervision stride "
+                        "(2 = half-res, the shipped phase-1 recipe; "
+                        "1 = full-res fine-tune)")
+    parser.add_argument("--event_config", type=str, default=None,
+                        help="[--instance] YAML/JSON rfi_config file "
+                        "for the training event mix (same schema as "
+                        "evaluate_rfi_model --event_config); default: "
+                        "the reference's default 4-family mix")
+    parser.add_argument("--eval_images", type=int, default=32,
+                        help="[--instance] held-out images for the "
+                        "closing quality eval (0 skips)")
+    parser.add_argument("--score_thresh", type=float, default=0.3,
+                        help="[--instance] score threshold for the "
+                        "closing eval")
     args = parser.parse_args(argv)
+    if args.coherent and args.instance:
+        parser.error("--coherent and --instance are exclusive")
 
     # flags the user passed explicitly (vs argparse defaults) — used
     # for YAML-config precedence and the --coherent recipe defaults
@@ -254,6 +379,8 @@ def main(argv=None):
 
     if args.coherent:
         return _train_coherent(args, given)
+    if args.instance:
+        return _train_instance(args, given)
 
     import jax.numpy as jnp
 

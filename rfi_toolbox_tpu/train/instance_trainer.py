@@ -164,6 +164,11 @@ class InstanceTrainer:
         self._fused = None
         self.params = None
         self.opt_state = None
+        # global step counter: the sample stream is keyed on it
+        # (fold_in(base, step)), so chunked fit() calls CONTINUE the
+        # stream instead of replaying it, and a restored checkpoint
+        # resumes the exact trajectory
+        self.step = 0
 
     def _init(self):
         key = jax.random.key(self.seed)
@@ -198,10 +203,16 @@ class InstanceTrainer:
         Returns:
             {'history': [{'step', 'loss', 'cate_loss', 'mask_loss',
                           'steps_per_sec'}]}
+
+        The synthetic sample stream is keyed per GLOBAL step
+        (``fold_in(base, self.step)``): a second ``fit`` call — or a
+        run resumed via :meth:`restore_checkpoint` — continues the
+        stream with fresh samples rather than replaying it from the
+        start (history 'step' stays relative to the call).
         """
         if self.params is None:
             self._init()
-        key = jax.random.key(self.seed + 1)
+        base = jax.random.fold_in(jax.random.key(self.seed), 1)
         rng = np.random.default_rng(self.seed)
         history = []
         use_fused = fused_steps > 1 and (
@@ -233,17 +244,17 @@ class InstanceTrainer:
         next_log = log_every
         while step_i < num_steps:
             if use_fused and num_steps - step_i >= fused_steps:
-                ks = []
-                for _ in range(fused_steps):
-                    key, k1 = jax.random.split(key)
-                    ks.append(k1)
+                ks = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                    jnp.arange(self.step, self.step + fused_steps)
+                )
                 self.params, self.opt_state, losses, parts = self._fused(
-                    self.params, self.opt_state, jnp.stack(ks)
+                    self.params, self.opt_state, ks
                 )
                 loss = losses[-1]
                 step_i += fused_steps
+                self.step += fused_steps
             else:
-                key, k1 = jax.random.split(key)
+                k1 = jax.random.fold_in(base, self.step)
                 batch = self.generate_batch(k1)
                 patches = batch["waterfall"]
                 masks = batch["inst_masks"]
@@ -263,6 +274,7 @@ class InstanceTrainer:
                     self.params, self.opt_state, patches, masks, classes, valid
                 )
                 step_i += 1
+                self.step += 1
             if step_i >= next_log or step_i >= num_steps:
                 log(step_i, loss, parts)
                 next_log = (step_i // log_every + 1) * log_every
@@ -291,10 +303,11 @@ class InstanceTrainer:
             for i in range(len(images))
         ]
 
-    def save_checkpoint(self, path, step=0):
+    def save_checkpoint(self, path, step=None):
         """Full training checkpoint (params + opt_state + step) via
         Orbax — crash-resumable long runs, unlike :meth:`save` which
-        strips the optimizer for shipping."""
+        strips the optimizer for shipping. ``step`` defaults to the
+        trainer's global step counter."""
         import orbax.checkpoint as ocp
 
         from pathlib import Path
@@ -304,7 +317,7 @@ class InstanceTrainer:
         tree = {
             "params": jax.device_get(self.params),
             "opt_state": jax.device_get(self.opt_state),
-            "step": int(step),
+            "step": int(self.step if step is None else step),
         }
         ocp.PyTreeCheckpointer().save(Path(path).absolute(), tree, force=True)
         return path
@@ -326,7 +339,8 @@ class InstanceTrainer:
             treedef, jax.tree.leaves(tree["opt_state"])
         )
         self.params = tree["params"]
-        return int(tree.get("step", 0))
+        self.step = int(tree.get("step", 0))
+        return self.step
 
     def save(self, path):
         """Export an inference snapshot (params + config metadata) via

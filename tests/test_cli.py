@@ -233,6 +233,46 @@ def test_train_cli_coherent_export_and_resume(tmp_path):
     assert res2["steps"] == 6
 
 
+def test_train_cli_instance_export_and_resume(tmp_path):
+    """--instance trains SOLOLite on device-generated events: custom
+    event mix via --event_config, checkpoints per --checkpoint_every,
+    closing held-out eval, .npz export, and --auto_resume continuing
+    the global step counter."""
+    import json
+
+    snap = tmp_path / "solo.npz"
+    ck = tmp_path / "ck"
+    mix = tmp_path / "mix.json"
+    mix.write_text(json.dumps({
+        "narrowband_persistent": {"count": [1, 2]},
+        "frequency_sweep": {"count": [0, 1]},
+    }))
+    flags = [
+        "--instance", "--num_steps", "4", "--fused_steps", "2",
+        "--patch_size", "32", "--batch_size", "2",
+        "--init_features", "8", "--grid_size", "4",
+        "--checkpoint_dir", str(ck), "--checkpoint_every", "2",
+        "--log_every", "2", "--eval_images", "2",
+        "--event_config", str(mix), "--seed", "0",
+    ]
+    res = train_main(flags + ["--export", str(snap)])
+    assert res["steps"] == 4
+    assert snap.exists()
+    assert "recall" in res["eval"]
+    assert (ck / "step_2").is_dir() and (ck / "step_4").is_dir()
+
+    from rfi_toolbox_tpu.train import InstanceTrainer, load_params
+
+    _, _, meta = load_params(snap)
+    assert meta["features"] == 8 and meta["grid_size"] == 4
+    t = InstanceTrainer.load(snap, batch_size=2)
+    assert t.model.features == 8
+
+    # auto-resume: checkpoint already covers --num_steps -> eval only
+    res2 = train_main(flags + ["--auto_resume", "--eval_images", "0"])
+    assert res2["steps"] == 4 and res2["history"] == []
+
+
 def test_visualize_static_png(tiny_dataset, tmp_path):
     pytest.importorskip("matplotlib")
     from rfi_toolbox_tpu.visualization.visualize import save_static_grid
