@@ -218,7 +218,23 @@ def main():
         _sync(loss)
         return total_patches / (time.perf_counter() - t0)
 
-    windows = [timed_window(s) for s in (1, 10, 20, 30, 40)]
+    # Pre-compile every scan length the timed windows will see: the
+    # kept-patch count is data-dependent (blank removal), and an unseen
+    # length compiling mid-window (30-60 s remote) would poison that
+    # window's number.
+    window_seeds = (1, 10, 20, 30, 40)
+    seen_lengths = {n_steps}
+    for s0 in window_seeds:
+        for i in range(4):
+            images, labels = preprocess(jax.random.key(s0 + i))
+            s = len(images) // TRAIN_BATCH
+            if s and s not in seen_lengths:
+                seen_lengths.add(s)
+                state, loss = train_all(state, images, labels)
+    if len(seen_lengths) > 1:
+        _sync(loss)
+
+    windows = [timed_window(s) for s in window_seeds]
     value = float(np.median(windows))
     print(
         json.dumps(

@@ -6,7 +6,8 @@ Uses an in-memory FakeMS with injected synthetic RFI; replace
 Run: python examples/flag_measurement_set.py [--device cpu]
      python examples/flag_measurement_set.py --method model8
        (coherent 8-channel flagging: all 4 polarizations jointly
-        through the shipped UNet24 via an AOT-compiled predictor)
+        through the shipped UNet16-GN throughput tier via an
+        AOT-compiled predictor)
 """
 
 import sys

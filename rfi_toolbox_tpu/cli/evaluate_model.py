@@ -153,12 +153,22 @@ def main(argv=None):
     if args.coherent:
         if args.instance:
             parser.error("--coherent and --instance are exclusive")
+        if args.event_config is not None:
+            parser.error("--event_config applies only to --instance")
+        if args.init_features is not None or args.norm is not None:
+            parser.error("--init_features/--norm come from the "
+                         "snapshot metadata with --coherent")
         from rfi_toolbox_tpu.train import CoherentTrainer
 
         trainer = CoherentTrainer.load(args.model_path)
         num_batches = max(1, args.num_images // args.batch_size)
+        # an explicit --threshold restricts the sweep to that point;
+        # default sweeps the standard 0.2-0.7 grid
+        thresholds = ([args.threshold] if args.threshold is not None
+                      else None)
         results = trainer.evaluate(num_batches=num_batches,
                                    eval_batch=args.batch_size,
+                                   thresholds=thresholds,
                                    tta=args.tta)
         print("Coherent held-out IoU sweep "
               f"({num_batches * args.batch_size} samples"

@@ -218,8 +218,13 @@ def _train_instance(args, given):
 
 
 def main(argv=None):
+    # allow_abbrev=False: the explicit-flag `given` set below matches
+    # raw argv tokens against dest names, so a prefix abbreviation
+    # (--batch for --batch_size) would silently defeat the recipe
+    # defaults and YAML precedence
     parser = argparse.ArgumentParser(
-        description="Train a UNet model for RFI masking"
+        description="Train a UNet model for RFI masking",
+        allow_abbrev=False,
     )
     parser.add_argument("--train_dir", type=str, default="rfi_dataset/train")
     parser.add_argument("--val_dir", type=str, default="rfi_dataset/val")
@@ -366,10 +371,13 @@ def main(argv=None):
             "mesh_shape": (",".join(map(str, tc.mesh_shape))
                            if tc.mesh_shape else None),
         }
-        # apply YAML values where the user didn't pass an explicit flag
+        # apply YAML values where the user didn't pass an explicit
+        # flag; YAML-set values then count as explicit for the
+        # --coherent/--instance recipe defaults
         for k, v in defaults.items():
             if k not in given:
                 setattr(args, k, v)
+                given.add(k)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 

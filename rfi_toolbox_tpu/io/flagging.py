@@ -173,9 +173,26 @@ def _coherent_images(vis4, patch_size):
     x = x.transpose(0, 2, 3, 4, 1).reshape(b * n, patch_size,
                                            patch_size, 8)
     flat = x.reshape(x.shape[0], -1)
-    med = jnp.median(flat, axis=1)
-    q75 = jnp.percentile(flat, 75, axis=1)
-    q25 = jnp.percentile(flat, 25, axis=1)
+    c, t = vis4.shape[2], vis4.shape[3]
+    if c % patch_size or t % patch_size:
+        # edge patches contain patchify zero-padding; computing the
+        # median/IQR over those zeros would mis-scale them (q25 pins to
+        # 0 once padding exceeds 25% of a patch), so mask padding out
+        # of the statistics (NaN-omit) — the training convention scales
+        # over real samples only
+        valid = P.patchify_batch(
+            jnp.ones((1, c, t), jnp.float32), patch_size
+        ) > 0                                   # (n, p, p) per plane
+        vmask = jnp.tile(valid, (b, 1, 1))[..., None]   # (b*n, p, p, 1)
+        mflat = jnp.broadcast_to(vmask, x.shape).reshape(x.shape[0], -1)
+        nanx = jnp.where(mflat, flat, jnp.nan)
+        med = jnp.nanmedian(nanx, axis=1)
+        q75 = jnp.nanpercentile(nanx, 75, axis=1)
+        q25 = jnp.nanpercentile(nanx, 25, axis=1)
+    else:
+        med = jnp.median(flat, axis=1)
+        q75 = jnp.percentile(flat, 75, axis=1)
+        q25 = jnp.percentile(flat, 25, axis=1)
     scale = jnp.maximum(q75 - q25, 1e-12)
     return ((x - med[:, None, None, None])
             / scale[:, None, None, None]).astype(jnp.float32)
@@ -224,6 +241,12 @@ def flag_measurement_set(
     Returns:
         dict: {'baselines': int, 'flagged_fraction': float, 'failed': []}
     """
+    if method == "model8" and mesh is not None:
+        logger.warning(
+            "mesh is ignored with method='model8': the 8-channel "
+            "predictor owns its device placement (AOT-compiled "
+            "single-device executable)"
+        )
     loader = MSLoader(ms, field_id=field_id)
     if not streaming:
         try:
@@ -331,9 +354,10 @@ def flag_measurement_set(
         if data is None or data.shape[-1] == 0:
             continue
 
-        # (4, C, T) complex128 -> device complex64 pipeline; the mesh
-        # shards the 4-pol batch exactly as the bulk path does (the
-        # ragged-bulk fallback forwards mesh into this loop)
+        # (4, C, T) complex128 -> device complex64 pipeline; for the
+        # mad/model methods the mesh shards the 4-pol batch exactly as
+        # the bulk path does (the ragged-bulk fallback forwards mesh
+        # into this loop); model8 ignores it (warned above)
         if method == "model8":
             if predictor is None:
                 raise ValueError("method='model8' requires a predictor")

@@ -225,11 +225,14 @@ class InstanceTrainer:
             )
 
         def log(step_i, loss, parts):
-            jax.block_until_ready(loss)
+            # the float() readback IS the device fence: block_until_ready
+            # is not reliable on the remote backend (CLAUDE.md), and
+            # bench_instance64 records steps_per_sec from this dt
+            loss = float(loss)
             dt = time.perf_counter() - t0
             rec = {
                 "step": step_i,
-                "loss": float(loss),
+                "loss": loss,
                 "cate_loss": float(parts["cate_loss"]),
                 "mask_loss": float(parts["mask_loss"]),
                 "steps_per_sec": step_i / dt,

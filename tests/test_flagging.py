@@ -89,6 +89,27 @@ def test_coherent_images_channel_order():
                                want / np.abs(want).max(), rtol=1e-5)
 
 
+def test_coherent_images_robust_scale_ignores_padding(rng):
+    """Edge patches on non-patch-multiple waterfalls contain patchify
+    zero-padding; the per-patch median/IQR must be computed over the
+    VALID region only (with 50% padding, q25 of the polluted
+    distribution pins toward 0 and the patch comes out over-spread)."""
+    from rfi_toolbox_tpu.io.flagging import _coherent_images
+
+    c, t, p = 96, 64, 64  # rows pad 96 -> 128: patch 1 is 50% padding
+    base = rng.normal(10.0, 1.0, (1, 4, c, t))
+    vis = (base * np.exp(1j * rng.uniform(0, 6.28, base.shape))
+           ).astype(np.complex64)
+    out = np.asarray(_coherent_images(vis, p))
+    assert out.shape == (2, p, p, 8)
+    for patch, valid_rows in ((0, p), (1, c - p)):
+        v = out[patch, :valid_rows]
+        iqr = np.percentile(v, 75) - np.percentile(v, 25)
+        # each patch is scaled by its own valid-region IQR -> ~1
+        assert abs(iqr - 1.0) < 0.05, (patch, iqr)
+        assert abs(np.median(v)) < 0.05, (patch, np.median(v))
+
+
 def test_flag_waterfalls_coherent(rng):
     base = rng.normal(1.0, 0.1, (2, 4, 128, 128))
     truth = np.zeros((2, 128, 128), bool)
