@@ -112,6 +112,18 @@ def test_evaluate_cli_coherent_sweep(tmp_path, capsys):
     assert "Coherent held-out IoU sweep" in out
     assert "best:" in out
 
+    # an explicit --threshold restricts the sweep to that one point
+    single = main(["--model_path", str(path), "--coherent",
+                   "--num_images", "2", "--batch_size", "2",
+                   "--threshold", "0.4", "--device", "cpu"])
+    assert list(single["ious"]) == [0.4]
+    assert single["best_threshold"] == 0.4
+
+    # snapshot metadata governs the model in --coherent mode
+    with pytest.raises(SystemExit):
+        main(["--model_path", str(path), "--coherent",
+              "--init_features", "8", "--device", "cpu"])
+
 
 def test_calibration_gap_zero_for_groupnorm():
     """calibration_gap (the BatchNorm health check that exposed the
