@@ -84,15 +84,9 @@ def evaluate_instance_snapshot(model_path, num_images=32, seed=10_000,
 
     kwargs = {}
     if event_config is not None:
-        import json
+        from .train_model import _load_event_config
 
-        text = open(event_config).read()
-        try:
-            kwargs["rfi_config"] = json.loads(text)
-        except json.JSONDecodeError:
-            import yaml
-
-            kwargs["rfi_config"] = yaml.safe_load(text)
+        kwargs["rfi_config"] = _load_event_config(event_config)
     trainer = InstanceTrainer.load(model_path, batch_size=batch_size,
                                    **kwargs)
     return evaluate_instance_model(
