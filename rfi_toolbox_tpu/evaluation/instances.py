@@ -83,7 +83,7 @@ def match_instances(detections, gt_masks, gt_classes, gt_valid=None,
 
 def evaluate_instance_model(trainer, num_images=32, seed=10_000,
                             iou_thresh=0.5, score_thresh=0.3,
-                            batch_size=None):
+                            batch_size=None, mask_thresh=0.5):
     """Held-out quality of an InstanceTrainer on fixed-seed synthetic
     batches (a key stream disjoint from training, which uses seed+1).
 
@@ -108,7 +108,8 @@ def evaluate_instance_model(trainer, num_images=32, seed=10_000,
         images = P.imagenet_normalize(P.extract_channels(batch["waterfall"]))
         take = min(batch_size, num_images - done)
         dets = trainer.predict(np.asarray(images[:take]),
-                               score_thresh=score_thresh)
+                               score_thresh=score_thresh,
+                               mask_thresh=mask_thresh)
         gms = np.asarray(batch["inst_masks"][:take])
         gcs = np.asarray(batch["inst_classes"][:take])
         gvs = np.asarray(batch["inst_valid"][:take])
