@@ -12,6 +12,7 @@ Rebuild of the reference (scripts/train_model.py:82-197):
 
 import argparse
 import logging
+import math
 
 import numpy as np
 
@@ -64,10 +65,10 @@ def _train_coherent(args, given):
         from rfi_toolbox_tpu.parallel import make_mesh
 
         shape = tuple(int(x) for x in str(args.mesh_shape).split(","))
-        if len(shape) > 1 and shape[1] != 1:
+        if math.prod(shape[1:]) != 1:
             raise SystemExit(
                 "--coherent parallelism is data-only; use "
-                f"--mesh_shape {shape[0] * shape[1]} (got {args.mesh_shape})"
+                f"--mesh_shape {math.prod(shape)} (got {args.mesh_shape})"
             )
         mesh = make_mesh((shape[0],), axis_names=("data",))
         logging.info("mesh: data=%d", shape[0])

@@ -157,6 +157,14 @@ class CompiledPredictor:
         device; returns a (N, H, W) bool jax.Array."""
         self._check_shape(images.shape)
         images = jnp.asarray(images, jnp.float32)
+        # The executable was AOT-compiled for the variables' (single-
+        # device) sharding. Mesh-sharded callers (flag_waterfalls with
+        # mesh=...) hand over NamedSharding-committed chunks, which the
+        # compiled program rejects outright — resharding here keeps the
+        # transfer device-to-device instead of bouncing through host.
+        target = jax.tree.leaves(self._variables)[0].sharding
+        if images.sharding != target:
+            images = jax.device_put(images, target)
         n = images.shape[0]
         bs = self.batch_size
         if n == 0:

@@ -179,6 +179,17 @@ def test_evaluate_instance_rejects_semantic_flags(tmp_path):
                    "--instance", "--threshold", "0.3"])
 
 
+def test_train_coherent_rejects_non_data_mesh(tmp_path):
+    """--coherent is data-parallel only: any mesh_shape whose trailing
+    dims multiply to >1 (not just shape[1]) must be rejected instead of
+    silently dropping devices (advisor round-3 low)."""
+    for bad in ("2,2", "2,1,4", "1,1,2"):
+        with pytest.raises(SystemExit, match="data-only"):
+            train_main(["--coherent", "--mesh_shape", bad,
+                        "--checkpoint_dir", str(tmp_path / "ck"),
+                        "--num_steps", "1"])
+
+
 def test_train_resume_cli(tiny_dataset, tmp_path):
     r1 = train_main([
         "--train_dir", str(tiny_dataset / "train"),
