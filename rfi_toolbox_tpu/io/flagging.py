@@ -66,7 +66,12 @@ def flag_waterfalls(
             SPMD across the chips (per-patch MAD needs no cross-shard
             communication; XLA keeps the whole chain sharded). This is
             how one large observation (baselines x pols planes) spreads
-            over a slice.
+            over a slice. When the batch is SMALLER than the mesh axis
+            (e.g. ONE huge waterfall on an 8-chip slice), the channel
+            axis is split into patch-aligned slabs that become extra
+            batch entries — every stage is per-patch, so the result is
+            identical and the whole slice stays busy (SURVEY §5
+            long-context equivalent).
 
     Returns:
         (M, C, T) bool flags (device array).
@@ -74,17 +79,34 @@ def flag_waterfalls(
     if use_pallas == "auto":
         use_pallas = jax.default_backend() != "cpu"
     flat = to_device(waterfalls)
+    if flat.ndim != 3:
+        raise ValueError(f"Expected (M, C, T) waterfalls, got {flat.shape}")
+    m0, c0, t0 = flat.shape
+    split = 1
     if mesh is not None:
+        n_ax = mesh.shape["data"]
+        if m0 < n_ax and c0 > patch_size:
+            # channel-shard: split C into patch-aligned slabs so the
+            # batch covers the mesh axis; per-patch flags make this
+            # exact (slab boundaries align with the patch grid, and
+            # the padded tail reproduces patchify's own zero padding)
+            rows = -(-c0 // patch_size)
+            split = min(rows, -(-n_ax // m0))
+            rows_p = -(-rows // split) * split
+            pad_c = rows_p * patch_size - c0
+            if pad_c:
+                flat = jnp.pad(flat, ((0, 0), (0, pad_c), (0, 0)))
+            flat = flat.reshape(
+                m0 * split, rows_p // split * patch_size, t0
+            )
         # shard_batch replicates when M does not divide the axis
         # (15 baselines on an 8-chip mesh must not crash)
         from ..parallel.mesh import shard_batch
 
         flat = shard_batch(flat, mesh)
-    if flat.ndim != 3:
-        raise ValueError(f"Expected (M, C, T) waterfalls, got {flat.shape}")
     m, c, t = flat.shape
 
-    if c <= patch_size and t <= patch_size:
+    if c <= patch_size and t <= patch_size and split == 1:
         patches = flat
         patched = False
     else:
@@ -109,6 +131,8 @@ def flag_waterfalls(
 
     if patched:
         flags = P.unpatchify_batch(flags.astype(jnp.float32), m, c, t) > 0
+    if split > 1:
+        flags = flags.reshape(m0, split * c, t)[:, :c0]
     return flags
 
 

@@ -1,5 +1,6 @@
 """Flax segmentation models."""
 
+from .folding import fold_batchnorm
 from .instance import (
     SOLOLite,
     assign_targets,
@@ -27,6 +28,7 @@ __all__ = [
     "Encoder",
     "Decoder",
     "create_model",
+    "fold_batchnorm",
     "SOLOLite",
     "solo_loss",
     "solo_decode",

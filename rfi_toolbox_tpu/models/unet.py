@@ -95,6 +95,52 @@ class Encoder(nn.Module):
         return pooled, skip
 
 
+class ConvTranspose2x2(nn.Module):
+    """2x2/stride-2 transposed conv in its exact matmul + pixel-shuffle
+    form.
+
+    With kernel size == stride there is no output overlap: every output
+    pixel receives contributions from exactly ONE input pixel, so the op
+    is literally ``out[n, 2i+di, 2j+dj, co] = x[n,i,j,:] @ W[di,dj,:,co]
+    + b[co]`` — one (N*H*W, Cin) x (Cin, 4*Cout) matmul followed by a
+    pixel-shuffle reshape. On the MXU this quadruples the matmul's N
+    dimension (4*Cout instead of Cout), lifting the narrow decoder
+    stages (dec1: Cout=32 -> N=128) to full systolic-array utilization
+    (BASELINE.md roofline table). Parameter names/shapes match
+    ``nn.ConvTranspose`` exactly (``kernel`` (2,2,Cin,Cout), ``bias``
+    (Cout,)) so existing checkpoints and snapshots load unchanged; the
+    Decoder instantiates it under the name ``ConvTranspose_0``.
+    Bit-parity with ``nn.ConvTranspose`` is asserted in
+    tests/test_models.py.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2, 2, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        # lax.conv_transpose applies the kernel spatially mirrored; the
+        # [::-1, ::-1] makes this bit-exact vs nn.ConvTranspose (free at
+        # trace time — XLA folds it into the reshape)
+        w = kernel[::-1, ::-1].astype(self.dtype).transpose(
+            2, 0, 1, 3
+        ).reshape(cin, 4 * self.features)
+        y = x @ w  # (N, H, W, 2*2*Cout)
+        n, h, wd = y.shape[:3]
+        y = y.reshape(n, h, wd, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, 2 * h, 2 * wd, self.features
+        )
+        return y + bias.astype(self.dtype)
+
+
 class Decoder(nn.Module):
     """2x2 stride-2 transposed conv, concat skip, DoubleConv."""
 
@@ -105,8 +151,10 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        up = nn.ConvTranspose(
-            self.features, (2, 2), strides=(2, 2), dtype=self.dtype
+        # matmul + pixel-shuffle form of nn.ConvTranspose (exact same
+        # params under the same scope name — checkpoints unaffected)
+        up = ConvTranspose2x2(
+            self.features, dtype=self.dtype, name="ConvTranspose_0"
         )(x)
         x = jnp.concatenate([up, skip], axis=-1)
         return DoubleConv(self.features, self.dtype, self.activation,

@@ -37,18 +37,23 @@ def preprocess_sharded(waterfalls, mesh, patch_size=128, axis="data"):
         mesh: jax.sharding.Mesh.
 
     Returns:
-        (N, patch, patch, 3) images, (M, C//p, T//p) patch-grid index
-        bookkeeping is implicit: patches come back ordered
-        (shard, waterfall, row, col) and are reordered to the canonical
-        (waterfall, row, col) order before returning.
+        (N, patch, patch, 3) images, bit-matching the unsharded
+        ``imagenet_normalize(extract_channels(patchify_batch(...)))``
+        in canonical (waterfall, row, col) patch order. Channel counts
+        that don't divide shards*patch_size are zero-padded up (the
+        same padding patchify itself applies) and the padding-only
+        patch rows are dropped before returning — no alignment
+        precondition on the caller.
     """
     m, c, t = waterfalls.shape
     n_shards = mesh.shape[axis]
-    if c % (n_shards * patch_size):
-        raise ValueError(
-            f"channel axis {c} must be divisible by shards*patch "
-            f"({n_shards}*{patch_size})"
-        )
+    # pad the channel axis so every shard holds a whole number of patch
+    # rows; rows beyond the unsharded patch grid are dropped after
+    rows = max(1, -(-c // patch_size))
+    rows_p = -(-rows // n_shards) * n_shards
+    pad_c = rows_p * patch_size - c
+    if pad_c:
+        waterfalls = jnp.pad(waterfalls, ((0, 0), (0, pad_c), (0, 0)))
 
     @partial(
         shard_map,
@@ -62,14 +67,16 @@ def preprocess_sharded(waterfalls, mesh, patch_size=128, axis="data"):
         return PP.imagenet_normalize(PP.extract_channels(patches))
 
     images = _shard_fn(waterfalls)
-    # reorder (shard, waterfall, row_in_shard, col) -> canonical
-    rows_per_shard = c // n_shards // patch_size
-    cols = t // patch_size
+    # reorder (shard, waterfall, row_in_shard, col) -> canonical and
+    # crop the padded patch rows
+    rows_per_shard = rows_p // n_shards
+    cols = max(1, -(-t // patch_size))
     img = images.reshape(n_shards, m, rows_per_shard, cols, patch_size,
                          patch_size, 3)
     img = jnp.transpose(img, (1, 0, 2, 3, 4, 5, 6))
-    return img.reshape(m * n_shards * rows_per_shard * cols, patch_size,
-                       patch_size, 3)
+    img = img.reshape(m, rows_p, cols, patch_size, patch_size, 3)
+    return img[:, :rows].reshape(m * rows * cols, patch_size,
+                                 patch_size, 3)
 
 
 def sharded_global_stats(values, mesh, axis="data", median_iters=32):

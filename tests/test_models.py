@@ -123,3 +123,61 @@ def test_groupnorm_train_eval_consistent():
     out_train = model.apply(variables, x, train=True)
     np.testing.assert_array_equal(np.asarray(out_eval),
                                   np.asarray(out_train))
+
+
+def test_convtranspose2x2_bit_matches_flax(rng):
+    """The matmul + pixel-shuffle upsample is BIT-exact vs
+    nn.ConvTranspose (2x2, stride 2) with identical params, and its
+    init draws the same kernel (same scope path + initializer), so
+    pre-existing checkpoints/snapshots are unaffected."""
+    from rfi_toolbox_tpu.models.unet import ConvTranspose2x2
+
+    x = jnp.asarray(rng.normal(size=(2, 5, 7, 3)).astype(np.float32))
+    ref = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    vref = ref.init(jax.random.key(1), x)
+    mine = ConvTranspose2x2(4)
+    np.testing.assert_array_equal(
+        np.asarray(ref.apply(vref, x)), np.asarray(mine.apply(vref, x))
+    )
+    vmine = mine.init(jax.random.key(1), x)
+    np.testing.assert_array_equal(
+        np.asarray(vref["params"]["kernel"]),
+        np.asarray(vmine["params"]["kernel"]),
+    )
+    assert vref["params"]["bias"].shape == vmine["params"]["bias"].shape
+
+
+def test_fold_batchnorm_parity(rng):
+    """Folded norm='none' model reproduces the eval-mode BatchNorm
+    forward to float rounding, with non-trivial running stats."""
+    from rfi_toolbox_tpu.models import UNet, fold_batchnorm
+
+    model = UNet(out_channels=1, init_features=4, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    # make the running stats non-trivial so folding is load-bearing
+    stats = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            np.abs(rng.normal(0.5, 0.2, a.shape)).astype(a.dtype)),
+        variables["batch_stats"],
+    )
+    want = model.apply(
+        {"params": variables["params"], "batch_stats": stats},
+        x, train=False,
+    )
+    fmodel, fparams = fold_batchnorm(model, variables["params"], stats)
+    assert fmodel.norm == "none"
+    got = fmodel.apply({"params": fparams}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_fold_batchnorm_rejects_groupnorm():
+    from rfi_toolbox_tpu.models import UNet, fold_batchnorm
+
+    model = UNet(init_features=4, norm="group")
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    with pytest.raises(ValueError, match="norm='batch'"):
+        fold_batchnorm(model, variables["params"], {})
