@@ -41,6 +41,7 @@ __all__ = [
     "extract_channels",
     "imagenet_normalize",
     "mad_flag_patches",
+    "static_select_flagged",
     "normalize_by_median",
     "apply_stretch",
     "IMAGENET_MEAN",
@@ -216,6 +217,39 @@ def mad_flag_patches(patches, sigma):
     lower = median - mad * sigma
     flags = (flat > upper) | (flat < lower)
     return flags.reshape(mag.shape)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def static_select_flagged(flag_patches, k, key):
+    """Device-side blank-patch removal with a STATIC output count.
+
+    The reference removes blank patches by data-dependent boolean
+    indexing (preprocessor.py:338-367), which on an accelerator forces a
+    host readback of the per-patch any-flag vector every pipeline
+    iteration — on a remote TPU that blocking round trip is the single
+    host sync in the steady-state training pipeline. This variant keeps
+    the whole step on device by fixing the kept-patch count ``k`` at
+    trace time:
+
+    - flagged patches are selected first (stable original order);
+    - if fewer than ``k`` patches are flagged, the flagged set is
+      repeated cyclically to fill (the padding semantics of
+      ``create_dataset(pad_to_multiple=...)``);
+    - if none are flagged, all patches cycle (the reference's
+      "keeping all patches" fallback, warning elided — emitting it
+      would require the very host sync this path removes);
+    - if more than ``k`` are flagged, the surplus is dropped (the
+      semantics of ``num_patches`` truncation).
+
+    Returns (k,) int32 patch indices, shuffled with ``key``.
+    """
+    n = flag_patches.shape[0]
+    has = jnp.any(flag_patches, axis=tuple(range(1, flag_patches.ndim)))
+    order = jnp.argsort(jnp.where(has, 0, 1), stable=True)
+    n_f = has.sum()
+    denom = jnp.maximum(jnp.where(n_f > 0, n_f, n), 1)
+    kept = jnp.take(order, jnp.arange(k) % denom)
+    return jax.random.permutation(key, kept)
 
 
 @jax.jit

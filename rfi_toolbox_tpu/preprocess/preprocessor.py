@@ -145,6 +145,7 @@ class Preprocessor:
         seed=None,
         use_pallas="auto",
         pad_to_multiple=None,
+        static_num_patches=None,
     ):
         """Create an ArrayDataset of 3-channel patches + label masks.
 
@@ -161,6 +162,16 @@ class Preprocessor:
         distinct count in steady-state pipelines; bucketing keeps
         shapes static across iterations (the duplicates are shuffled
         training samples). None = exact count (default).
+        ``static_num_patches``: return EXACTLY this many patches with
+        the selection done entirely ON DEVICE
+        (:func:`pipeline.static_select_flagged`): flagged patches
+        first, cyclic repeats on deficit, truncation on surplus. This
+        removes the blank-removal host readback — the one blocking
+        round trip in the steady-state train pipeline on a remote
+        accelerator — so ``create_dataset`` becomes pure async
+        dispatch. Mutually exclusive with ``num_patches`` /
+        ``pad_to_multiple``; ignored in inference mode (which keeps
+        every patch in order).
         """
         del num_workers  # API compatibility; parallelism is the batch.
         if use_pallas == "auto":
@@ -219,9 +230,22 @@ class Preprocessor:
             else:
                 flag_patches = P.mad_flag_patches(patches, float(flag_sigma))
 
-        # Steps 7-8 + truncation: host-side index selection, device gather.
+        # Steps 7-8 + truncation: host-side index selection, device gather
+        # (or the fully-device static path when static_num_patches is set).
         n = patches.shape[0]
-        if not inference_mode:
+        if static_num_patches and not inference_mode:
+            if num_patches or pad_to_multiple:
+                raise ValueError(
+                    "static_num_patches is mutually exclusive with "
+                    "num_patches / pad_to_multiple"
+                )
+            import jax
+
+            keep_dev = P.static_select_flagged(
+                flag_patches, int(static_num_patches),
+                jax.random.key(seed if seed is not None else 0),
+            )
+        elif not inference_mode:
             has_flags = np.asarray(jnp.any(flag_patches, axis=(1, 2)))
             if has_flags.any():
                 keep = np.nonzero(has_flags)[0]
@@ -233,15 +257,17 @@ class Preprocessor:
         else:
             keep = np.arange(n)
 
-        if num_patches and num_patches < len(keep):
-            keep = keep[:num_patches]
+        if not (static_num_patches and not inference_mode):
+            if num_patches and num_patches < len(keep):
+                keep = keep[:num_patches]
 
-        if pad_to_multiple and not inference_mode and len(keep) % pad_to_multiple:
-            deficit = pad_to_multiple - len(keep) % pad_to_multiple
-            reps = -(-deficit // max(len(keep), 1))
-            keep = np.concatenate([keep, np.tile(keep, reps)[:deficit]])
+            if (pad_to_multiple and not inference_mode
+                    and len(keep) % pad_to_multiple):
+                deficit = pad_to_multiple - len(keep) % pad_to_multiple
+                reps = -(-deficit // max(len(keep), 1))
+                keep = np.concatenate([keep, np.tile(keep, reps)[:deficit]])
 
-        keep_dev = jnp.asarray(keep)
+            keep_dev = jnp.asarray(keep)
         patches = jnp.take(patches, keep_dev, axis=0)
         flag_patches = jnp.take(flag_patches, keep_dev, axis=0)
 

@@ -215,6 +215,61 @@ def test_create_dataset_num_patches_truncation(rng):
     assert len(ds) == 2
 
 
+def test_create_dataset_static_num_patches(rng):
+    """Device-side static selection: same kept SET as the host path when
+    counts line up, cyclic flagged repeats on deficit, truncation on
+    surplus — all without any data-dependent host readback."""
+    vis, mask = _make_complex_waterfall(rng)  # 2 pol -> 32 patches, 8 flagged
+    host = Preprocessor(vis, flags=mask).create_dataset(
+        patch_size=128, use_custom_flags=True, seed=0
+    )
+    n_flagged = len(host)
+
+    # exact count: identical patch SET (order differs: np vs jax shuffle)
+    ds = Preprocessor(vis, flags=mask).create_dataset(
+        patch_size=128, use_custom_flags=True, seed=0,
+        static_num_patches=n_flagged,
+    )
+    assert len(ds) == n_flagged
+    assert all(ds.labels[i].any() for i in range(len(ds)))
+
+    def rows(d):
+        return np.unique(np.asarray(d.images).reshape(len(d), -1), axis=0)
+
+    np.testing.assert_array_equal(rows(ds), rows(host))
+
+    # deficit: flagged patches repeat cyclically, every output flagged
+    ds_up = Preprocessor(vis, flags=mask).create_dataset(
+        patch_size=128, use_custom_flags=True, seed=0,
+        static_num_patches=n_flagged + 5,
+    )
+    assert len(ds_up) == n_flagged + 5
+    assert all(ds_up.labels[i].any() for i in range(len(ds_up)))
+    # only flagged patches appear, duplicated to fill the deficit
+    np.testing.assert_array_equal(rows(ds_up), rows(host))
+
+    # surplus: truncation to the requested static count
+    ds_dn = Preprocessor(vis, flags=mask).create_dataset(
+        patch_size=128, use_custom_flags=True, seed=0,
+        static_num_patches=max(n_flagged - 2, 1),
+    )
+    assert len(ds_dn) == max(n_flagged - 2, 1)
+    assert all(ds_dn.labels[i].any() for i in range(len(ds_dn)))
+
+    # no flagged patches at all: falls back to cycling every patch
+    ds_none = Preprocessor(vis, flags=np.zeros_like(mask)).create_dataset(
+        patch_size=128, use_custom_flags=True, seed=0,
+        static_num_patches=6,
+    )
+    assert len(ds_none) == 6
+    assert ds_none.labels.sum() == 0
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Preprocessor(vis, flags=mask).create_dataset(
+            patch_size=128, seed=0, static_num_patches=4, num_patches=2
+        )
+
+
 def test_real_data_normalize_and_stretch_path(rng):
     data = rng.uniform(1.0, 100.0, (1, 1, 256, 256)).astype(np.float32)
     ds = Preprocessor(data).create_dataset(
