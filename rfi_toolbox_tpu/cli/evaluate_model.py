@@ -40,7 +40,9 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
         if norm is None:
             norm = meta.get("norm", "batch")
         model = create_model(model_type, init_features=init_features,
-                             norm=norm)
+                             norm=norm,
+                             space_to_depth=bool(
+                                 meta.get("space_to_depth", False)))
         trainer = Trainer(model)
         trainer.state = trainer._init_state(ds.images.shape[1:])
         trainer.state = trainer.state.replace(params=params,

@@ -17,6 +17,8 @@ from .unet import (
     UNetDifferentActivation,
     UNetOverfit,
     create_model,
+    depth_to_space,
+    space_to_depth,
 )
 
 __all__ = [
@@ -28,6 +30,8 @@ __all__ = [
     "Encoder",
     "Decoder",
     "create_model",
+    "space_to_depth",
+    "depth_to_space",
     "fold_batchnorm",
     "SOLOLite",
     "solo_loss",

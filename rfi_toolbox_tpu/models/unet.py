@@ -37,6 +37,8 @@ __all__ = [
     "DoubleConv",
     "Encoder",
     "Decoder",
+    "space_to_depth",
+    "depth_to_space",
     "UNet",
     "UNetBigger",
     "UNetOverfit",
@@ -161,8 +163,34 @@ class Decoder(nn.Module):
                           self.norm)(x, train)
 
 
+def space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), 2x2 blocks to channels."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x):
+    """Inverse of :func:`space_to_depth`."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, 2, 2, c // 4)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c // 4)
+
+
 class _UNetBase(nn.Module):
-    """Shared encoder-decoder skeleton with a configurable depth."""
+    """Shared encoder-decoder skeleton with a configurable depth.
+
+    ``space_to_depth=True`` is the MXU-packed variant (NOT reference
+    parity — an opt-in beyond-reference architecture): the input is
+    packed 2x2 into channels and the network runs entirely at half
+    spatial resolution, so the outermost stage computes at ``2f``
+    output channels instead of ``f`` (the reference's enc1/dec1 run the
+    128x128 grid at 32 channels = 25% utilization of the 128-wide MXU
+    systolic array — the dominant term in BASELINE.md's roofline
+    table). Logits are restored to input resolution by a 4x-channel
+    1x1 head + depth-to-space. Same nominal depth: the packing replaces
+    the first resolution level, the bottleneck width is unchanged.
+    """
 
     out_channels: int = 1
     init_features: int = 32
@@ -171,6 +199,7 @@ class _UNetBase(nn.Module):
     activation: Callable = nn.relu
     final_sigmoid: bool = False
     norm: str = "batch"
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -178,20 +207,30 @@ class _UNetBase(nn.Module):
         in_dtype = x.dtype
         x = x.astype(self.dtype)
 
+        if self.space_to_depth:
+            x = space_to_depth(x)
+            stage_features = [f * 2 ** (i + 1) for i in range(self.depth - 1)]
+        else:
+            stage_features = [f * 2**i for i in range(self.depth)]
+
         skips = []
-        for i in range(self.depth):
-            x, skip = Encoder(f * 2**i, self.dtype, self.activation,
+        for feats in stage_features:
+            x, skip = Encoder(feats, self.dtype, self.activation,
                               self.norm)(x, train)
             skips.append(skip)
 
         x = DoubleConv(f * 2**self.depth, self.dtype, self.activation,
                        self.norm)(x, train)
 
-        for i in reversed(range(self.depth)):
-            x = Decoder(f * 2**i, self.dtype, self.activation,
-                        self.norm)(x, skips[i], train)
+        for feats, skip in zip(reversed(stage_features), reversed(skips)):
+            x = Decoder(feats, self.dtype, self.activation,
+                        self.norm)(x, skip, train)
 
-        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+        if self.space_to_depth:
+            x = nn.Conv(4 * self.out_channels, (1, 1), dtype=self.dtype)(x)
+            x = depth_to_space(x)
+        else:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
         x = x.astype(in_dtype if jnp.issubdtype(in_dtype, jnp.floating)
                      else jnp.float32)
         if self.final_sigmoid:

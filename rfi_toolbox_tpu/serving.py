@@ -56,6 +56,7 @@ class CompiledPredictor:
             model, params = fold_batchnorm(model, params, batch_stats)
             batch_stats = None
             self.folded = True
+        self._model = model
         variables = {"params": params, "batch_stats": batch_stats or {}}
         thresh = self.threshold
 
@@ -111,7 +112,9 @@ class CompiledPredictor:
             from .models import UNet
 
             model = UNet(init_features=int(meta.get("init_features", 32)),
-                         norm=meta.get("norm", "batch"))
+                         norm=meta.get("norm", "batch"),
+                         space_to_depth=bool(
+                             meta.get("space_to_depth", False)))
         if "input_shape" not in kwargs and "in_channels" in meta:
             kwargs["input_shape"] = (128, 128, int(meta["in_channels"]))
         if "threshold" not in kwargs and "best_threshold" in meta:

@@ -40,6 +40,7 @@ def _predictor(model_path, in_channels, model_type, init_features, shape):
             model_type,
             init_features=meta.get("init_features", init_features),
             norm=meta.get("norm", "batch"),
+            space_to_depth=bool(meta.get("space_to_depth", False)),
         )
         trainer = Trainer(model)
         trainer.state = trainer._init_state(shape)

@@ -94,6 +94,32 @@ def test_groupnorm_trainer_roundtrip(tmp_path):
     assert 0.0 <= rep["best_iou"] <= 1.0
 
 
+def test_space_to_depth_trainer_roundtrip(tmp_path):
+    """space_to_depth=True (the MXU-packed variant) trains, records the
+    flag in export metadata, and load() + CompiledPredictor.from_snapshot
+    reconstruct the packed architecture from it — the snapshot is
+    self-describing like norm/init_features."""
+    from rfi_toolbox_tpu.serving import CompiledPredictor
+
+    tr = CoherentTrainer(init_features=4, size=32, batch_size=2, seed=2,
+                         norm="group", space_to_depth=True)
+    assert tr.model.space_to_depth
+    tr.fit(num_steps=2, fused_steps=2)
+    path = tr.export(tmp_path / "s2d.npz", best_threshold=0.5)
+    _, _, meta = load_params(path)
+    assert meta["space_to_depth"] is True
+    assert meta["norm"] == "group"
+    loaded = CoherentTrainer.load(path)
+    assert loaded.model.space_to_depth
+    rep = loaded.evaluate(num_batches=1, eval_batch=1, thresholds=[0.5])
+    assert 0.0 <= rep["best_iou"] <= 1.0
+    pred = CompiledPredictor.from_snapshot(path, batch_size=1,
+                                           input_shape=(32, 32, 8))
+    assert pred._model.space_to_depth
+    flags = pred(np.zeros((1, 32, 32, 8), np.float32))
+    assert np.asarray(flags).shape == (1, 32, 32)
+
+
 def test_evaluate_cli_coherent_sweep(tmp_path, capsys):
     """evaluate_rfi_model --coherent runs the held-out simulator sweep
     from a snapshot (CLI parity for the pretrained-gate convention)."""

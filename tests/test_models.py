@@ -181,3 +181,50 @@ def test_fold_batchnorm_rejects_groupnorm():
     variables = model.init(jax.random.key(0), x, train=False)
     with pytest.raises(ValueError, match="norm='batch'"):
         fold_batchnorm(model, variables["params"], {})
+
+
+def test_space_to_depth_roundtrip(rng):
+    from rfi_toolbox_tpu.models import depth_to_space, space_to_depth
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 3)).astype(np.float32))
+    packed = space_to_depth(x)
+    assert packed.shape == (2, 4, 3, 12)
+    # 2x2 block (0:2, 0:2) of channel c lands in channels [c, c+3, c+6, c+9]?
+    # Layout contract: block-row-major within the packed channel axis.
+    np.testing.assert_array_equal(
+        np.asarray(packed[0, 0, 0].reshape(2, 2, 3)),
+        np.asarray(x[0, 0:2, 0:2, :]),
+    )
+    np.testing.assert_array_equal(np.asarray(depth_to_space(packed)),
+                                  np.asarray(x))
+
+
+def test_unet_space_to_depth_variant(rng):
+    """MXU-packed UNet (opt-in, beyond reference): full-resolution
+    output, one fewer resolution level, outermost stage at 2f channels,
+    gradients flow, and the packed model is strictly cheaper per step
+    (fewer params at the outer stages, quarter the outer-stage spatial
+    work)."""
+    from rfi_toolbox_tpu.models import UNet
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    model = UNet(out_channels=1, init_features=8, norm="group",
+                 space_to_depth=True)
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 64, 64, 1)
+
+    # 3 encoder stages (depth-1) + bottleneck + 3 decoders
+    enc_names = [k for k in variables["params"] if k.startswith("Encoder")]
+    dec_names = [k for k in variables["params"] if k.startswith("Decoder")]
+    assert len(enc_names) == 3 and len(dec_names) == 3
+    # outermost encoder runs at 2f channels on the packed grid
+    first_kernel = variables["params"]["Encoder_0"]["DoubleConv_0"][
+        "Conv_0"]["kernel"]
+    assert first_kernel.shape == (3, 3, 12, 16)  # 4*3 in, 2*8 out
+
+    def loss(p):
+        return (model.apply({"params": p}, x, train=False) ** 2).mean()
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(g))
