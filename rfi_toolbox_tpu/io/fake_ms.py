@@ -95,13 +95,17 @@ class FakeTable:
         return FakeTable(self._ms, np.asarray(sel, dtype=int))
 
     def getdminfo(self):
+        # CellShape reports the STORED per-row cell shape, layout and
+        # all — exactly what casacore's hypercube spec records
+        # (reference derives npol/nchan from it, ms_loader.py:103-122).
         npol, nchan = self._ms.num_pols, int(self._ms.channels_per_spw[0])
+        cell = self._ms._to_layout(np.empty((npol, nchan), np.int8))
         return {
             "*1": {
                 "COLUMNS": ["DATA", "FLAG"],
                 "SPEC": {
                     "HYPERCUBES": {
-                        "*1": {"CellShape": np.array([npol, nchan])}
+                        "*1": {"CellShape": np.array(cell.shape)}
                     }
                 },
             }
@@ -121,6 +125,13 @@ class FakeMS:
         skip_baselines: optional set of (ant1, ant2) pairs with no rows
             (exercises the loader's baseline-skipping path,
             ms_loader.py:230-235).
+        cell_layout: per-row cell orientation of DATA/FLAG columns.
+            Real MSes are not uniform here — the reference shape-sniffs
+            exactly these three layouts before injecting
+            (/root/reference/rfi_toolbox/io/ms_injection.py:184-253):
+            ``"pol_chan"`` (casacore default, (npol, nchan)),
+            ``"chan_pol"`` (transposed, (nchan, npol)),
+            ``"pol_chan_1"`` ((npol, nchan, 1) trailing singleton).
     """
 
     def __init__(
@@ -132,12 +143,16 @@ class FakeMS:
         field_ids=(0,),
         seed=0,
         skip_baselines=(),
+        cell_layout="pol_chan",
     ):
         self.num_antennas = num_antennas
         self.channels_per_spw = np.asarray(channels_per_spw, dtype=int)
         self.num_times = num_times
         self.num_pols = num_pols
         self.field_ids = list(field_ids)
+        if cell_layout not in ("pol_chan", "chan_pol", "pol_chan_1"):
+            raise ValueError(f"unknown cell_layout {cell_layout!r}")
+        self.cell_layout = cell_layout
         rng = np.random.default_rng(seed) if seed is not None else None
         skip = {tuple(sorted(b)) for b in skip_baselines}
 
@@ -170,6 +185,7 @@ class FakeMS:
                                 data = np.zeros(
                                     (num_pols, nchan), np.complex128
                                 )
+                            data = self._to_layout(data)
                             self.rows.append(
                                 {
                                     "DATA_DESC_ID": spw,
@@ -179,11 +195,20 @@ class FakeMS:
                                     "TIME": t0 + t,
                                     "DATA": data,
                                     "CORRECTED_DATA": data.copy(),
-                                    "FLAG": np.zeros(
-                                        (num_pols, nchan), bool
+                                    "FLAG": self._to_layout(
+                                        np.zeros((num_pols, nchan), bool)
                                     ),
                                 }
                             )
+
+    def _to_layout(self, cell):
+        """Reorient a canonical (npol, nchan) cell into this MS's
+        stored cell layout."""
+        if self.cell_layout == "chan_pol":
+            return cell.T.copy()
+        if self.cell_layout == "pol_chan_1":
+            return cell[..., None].copy()
+        return cell
 
     def table(self, subtable=None):
         """Open the main table or a subtable ('ANTENNA', 'SPECTRAL_WINDOW')."""
@@ -204,6 +229,7 @@ def make_fake_ms(
     field_ids=(0,),
     seed=0,
     skip_baselines=(),
+    cell_layout="pol_chan",
 ):
     """Convenience constructor."""
     return FakeMS(
@@ -214,4 +240,5 @@ def make_fake_ms(
         field_ids=field_ids,
         seed=seed,
         skip_baselines=skip_baselines,
+        cell_layout=cell_layout,
     )

@@ -69,6 +69,52 @@ def _group_baseline_rows(ant1, ant2, max_ant1=None):
     ]
 
 
+def _canonicalize_cells(col, num_channels):
+    """Reorient a bulk getcol result (casacore row axis LAST) into the
+    canonical (num_pols, num_channels, nrows) layout, whatever the
+    stored per-row cell orientation.
+
+    Real MSes are not uniform here: transposed (nchan, npol) and
+    trailing-singleton (npol, nchan, 1) cells occur in the wild — the
+    reason the reference's *injection* path shape-sniffs before writing
+    (/root/reference/rfi_toolbox/io/ms_injection.py:184-253). The
+    reference's *loader* assumes (npol, nchan) and silently swaps the
+    pol/chan axes on a transposed MS (ms_loader.py:103-122); this repo
+    normalizes on read instead. The SPECTRAL_WINDOW table's NUM_CHAN is
+    the ground truth that picks the channel axis; square cells
+    (npol == nchan) are inherently ambiguous and keep the casacore
+    default (npol, nchan) orientation, matching the reference.
+
+    Returns ``(canonical, restore)`` where ``restore(arr)`` maps a
+    canonical (num_pols, num_channels, nrows) array back to the stored
+    layout for putcol (read-modify-write flag saves).
+    """
+    col = np.asarray(col)
+    squeezed = transposed = False
+    if col.ndim == 4:
+        if col.shape[2] != 1:
+            raise ValueError(
+                f"unsupported DATA/FLAG column shape {col.shape}"
+            )
+        squeezed = True
+        col = col[:, :, 0, :]
+    if col.ndim != 3:
+        raise ValueError(f"unsupported DATA/FLAG column shape {col.shape}")
+    if col.shape[0] == num_channels and col.shape[1] != num_channels:
+        transposed = True
+        col = col.swapaxes(0, 1)
+
+    def restore(canonical):
+        out = np.asarray(canonical)
+        if transposed:
+            out = out.swapaxes(0, 1)
+        if squeezed:
+            out = out[:, :, None, :]
+        return np.ascontiguousarray(out)
+
+    return col, restore
+
+
 def _is_fake(ms):
     return isinstance(ms, FakeMS)
 
@@ -170,6 +216,11 @@ class MSLoader:
             raise ValueError(f"No hypercube info for {mode}")
         cell_shape = list(hypercubes.values())[0]["CellShape"]
         num_pols, num_channels = int(cell_shape[0]), int(cell_shape[1])
+        # Transposed (nchan, npol) cells exist in the wild (see
+        # _canonicalize_cells); SPW NUM_CHAN disambiguates the labels.
+        nchan0 = int(self.channels_per_spw[0])
+        if num_pols == nchan0 and num_channels != nchan0:
+            num_pols, num_channels = num_channels, num_pols
 
         baseline_map = [
             (i, j)
@@ -225,7 +276,7 @@ class MSLoader:
                 continue
             ant1 = np.asarray(subtable.getcol("ANTENNA1"))
             ant2 = np.asarray(subtable.getcol("ANTENNA2"))
-            vis = np.asarray(subtable.getcol(mode))
+            vis, _ = _canonicalize_cells(subtable.getcol(mode), num_channels)
             subtable.close()
             spw_map = {}
             for pair, rows in _group_baseline_rows(ant1, ant2, num_antennas):
@@ -276,7 +327,9 @@ class MSLoader:
                 raise ValueError(
                     f"No data for baseline {ant1}-{ant2} in SPW {spw}"
                 )
-            spw_data = subtable.getcol(mode)
+            spw_data, _ = _canonicalize_cells(
+                subtable.getcol(mode), num_channels
+            )
             start = spw_idx * num_channels
             baseline_data[start : start + num_channels, :] = spw_data[pol_idx]
             subtable.close()
@@ -310,7 +363,9 @@ class MSLoader:
             if subtable.nrows() == 0:
                 subtable.close()
                 continue
-            spw_data = subtable.getcol(mode)
+            spw_data, _ = _canonicalize_cells(
+                subtable.getcol(mode), num_channels
+            )
             start = spw_idx * num_channels
             baseline_data[:, start : start + num_channels, :] = spw_data
             subtable.close()
@@ -346,7 +401,10 @@ class MSLoader:
                 subtable.close()
                 continue
             start = spw_idx * num_channels
-            flags[:, start : start + num_channels, :] = subtable.getcol("FLAG")
+            spw_flags, _ = _canonicalize_cells(
+                subtable.getcol("FLAG"), num_channels
+            )
+            flags[:, start : start + num_channels, :] = spw_flags
             subtable.close()
         tb.close()
         return flags
@@ -370,7 +428,12 @@ class MSLoader:
                 f"DATA_DESC_ID=={spw} && ANTENNA1=={ant1} && ANTENNA2=={ant2}{ff}"
             )
             if subtable.nrows() > 0:
-                subtable.putcol("FLAG", np.asarray(spw_flags, dtype=bool))
+                _, restore = _canonicalize_cells(
+                    subtable.getcol("FLAG"), num_channels
+                )
+                subtable.putcol(
+                    "FLAG", restore(np.asarray(spw_flags, dtype=bool))
+                )
             subtable.close()
         tb.close()
 
@@ -409,7 +472,7 @@ class MSLoader:
                 continue
             ant1 = np.asarray(subtable.getcol("ANTENNA1"))
             ant2 = np.asarray(subtable.getcol("ANTENNA2"))
-            col = np.asarray(subtable.getcol("FLAG"))
+            col, _ = _canonicalize_cells(subtable.getcol("FLAG"), num_channels)
             subtable.close()
             start = spw_idx * num_channels
             for pair, rows in _group_baseline_rows(ant1, ant2):
@@ -450,18 +513,21 @@ class MSLoader:
             ant1 = np.asarray(subtable.getcol("ANTENNA1"))
             ant2 = np.asarray(subtable.getcol("ANTENNA2"))
             start = spw_idx * num_channels
-            col = None
+            col = restore = None
             for pair, rows in _group_baseline_rows(ant1, ant2):
                 b = index.get(pair)
                 if b is None:
                     continue
                 if col is None:
-                    col = np.asarray(subtable.getcol("FLAG"))
+                    col, restore = _canonicalize_cells(
+                        subtable.getcol("FLAG"), num_channels
+                    )
+                    col = np.ascontiguousarray(col)
                 col[:, :, rows] = flags[
                     b, :, start : start + num_channels, :
                 ].astype(bool)
             if col is not None:
-                subtable.putcol("FLAG", col)
+                subtable.putcol("FLAG", restore(col))
             subtable.close()
 
     def get_available_fields(self):

@@ -111,6 +111,106 @@ def test_subtable_scalar_columns(tiny_ms):
         want["ANTENNA"]["NAME_shape"]
 
 
+@pytest.mark.parametrize("layout", ["pol_chan", "chan_pol", "pol_chan_1"])
+def test_cell_layout_variants_match_recorded_contract(layout):
+    """Real MSes carry transposed and trailing-singleton DATA cells
+    (the reason the reference shape-sniffs before injecting,
+    ms_injection.py:184-253); FakeMS must reproduce each recorded
+    variant: stored cell shape, getcol shape (row axis still LAST),
+    and the getdminfo CellShape."""
+    cfg = CONTRACT["config"]
+    want = CONTRACT["cell_layouts"][layout]
+    ms = FakeMS(
+        num_antennas=cfg["num_antennas"],
+        channels_per_spw=tuple(cfg["channels_per_spw"]),
+        num_times=cfg["num_times"],
+        num_pols=cfg["num_pols"],
+        seed=0,
+        cell_layout=layout,
+    )
+    assert list(ms.rows[0]["DATA"].shape) == want["cell_shape"]
+    tb = ms.table()
+    assert list(tb.getcol("DATA").shape) == want["getcol_shape"]
+    hyper = next(iter(tb.getdminfo().values()))["SPEC"]["HYPERCUBES"]
+    cell = next(iter(hyper.values()))["CellShape"]
+    assert list(np.asarray(cell)) == want["cell_shape"]
+
+
+@pytest.mark.parametrize("layout", ["pol_chan", "chan_pol", "pol_chan_1"])
+def test_injection_handles_every_recorded_cell_layout(layout):
+    """End-to-end: inject_synthetic_data's shape sniffer must place the
+    synthetic (npol, nchan, ntimes) visibilities correctly whatever the
+    target MS's stored cell orientation (reference sniffing logic at
+    ms_injection.py:184-253; this repo fixes its square-cell row-axis
+    ambiguity by searching from the end)."""
+    from rfi_toolbox_tpu.io import inject_synthetic_data
+
+    npol, nchan, ntimes = 4, 8, 3
+    ms = FakeMS(num_antennas=2, channels_per_spw=(nchan,),
+                num_times=ntimes, num_pols=npol, seed=0,
+                cell_layout=layout)
+    synth = (
+        np.arange(1 * npol * nchan * ntimes)
+        .reshape(1, npol, nchan, ntimes)
+        .astype(np.complex128)
+    )
+    out = inject_synthetic_data(ms, synth)
+    for t, row in enumerate(out.rows):
+        cell = row["DATA"]
+        if layout == "chan_pol":
+            cell = cell.T
+        elif layout == "pol_chan_1":
+            cell = cell[..., 0]
+        np.testing.assert_array_equal(cell, synth[0, :, :, t])
+
+
+@pytest.mark.parametrize("layout", ["pol_chan", "chan_pol", "pol_chan_1"])
+def test_loader_round_trip_per_cell_layout(layout):
+    """Full MSLoader surface against every recorded cell layout: load,
+    load_flags, save_flags (read-modify-write restores the stored
+    orientation), per-baseline load/save, metadata labels. The
+    reference loader assumes (npol, nchan) and silently swaps axes on a
+    transposed MS (ms_loader.py:103-122); this repo normalizes via
+    _canonicalize_cells, so the values must be IDENTICAL across
+    layouts."""
+    from rfi_toolbox_tpu.io import MSLoader
+
+    npol, nchan = 4, 8
+    ref = None
+    for seed_layout in ("pol_chan", layout):
+        ms = FakeMS(num_antennas=3, channels_per_spw=(nchan, nchan),
+                    num_times=5, num_pols=npol, seed=7,
+                    cell_layout=seed_layout)
+        ld = MSLoader(ms)
+        data = ld.load()
+        if ref is None:
+            ref = data
+    assert data.shape == (3, npol, 2 * nchan, 5)
+    np.testing.assert_array_equal(data, ref)
+
+    meta = ld.get_metadata()
+    assert (meta["num_pols"], meta["num_channels"]) == (npol, nchan)
+
+    flags = ld.load_flags()
+    assert not flags.any()
+    new = np.zeros_like(flags)
+    new[1, 2, 3:11, :3] = True
+    ld.save_flags(new)
+    np.testing.assert_array_equal(ld.load_flags(), new)
+    # stored cells keep the MS's own orientation after the write
+    want = CONTRACT["cell_layouts"][layout]["cell_shape"]
+    assert list(ms.rows[0]["FLAG"].shape) == want
+
+    bl = ld.load_baseline(0, 1)
+    np.testing.assert_array_equal(bl, data[0])
+    single = ld.load_single_baseline(0, 1, pol_idx=2)
+    np.testing.assert_array_equal(single, data[0, 2])
+    blf = np.ones((npol, 2 * nchan, 5), bool)
+    ld.save_baseline_flags(0, 2, blf)
+    np.testing.assert_array_equal(ld.load_baseline_flags(0, 2), blf)
+    assert list(ms.rows[0]["FLAG"].shape) == want
+
+
 def test_bulk_loader_row_grouping_end_to_end():
     """End-to-end guard on the (npol, nchan, nrow) assumption: encode
     (baseline, time) into each row's DATA and confirm the bulk loader
