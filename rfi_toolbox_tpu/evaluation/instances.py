@@ -24,7 +24,10 @@ def match_instances(detections, gt_masks, gt_classes, gt_valid=None,
         gt_classes: (M,) int class ids.
         gt_valid: (M,) bool (padded rows False). Default: any-pixel.
         iou_thresh: match threshold.
-        score_thresh: detections below are ignored.
+        score_thresh: detections below are ignored. Scalar, or a
+            per-class sequence/array indexed by class id (per-family
+            score calibration — different event families run at very
+            different confidence scales).
         require_class: matches must also agree on class.
 
     Returns dict:
@@ -42,7 +45,11 @@ def match_instances(detections, gt_masks, gt_classes, gt_valid=None,
         gt_valid = gt_masks.any(axis=(1, 2))
     gt_valid = np.asarray(gt_valid, bool)
 
-    keep = scores >= score_thresh
+    if np.ndim(score_thresh) > 0 or isinstance(score_thresh, (list, tuple)):
+        thresh = np.asarray(score_thresh, float)[classes]
+    else:
+        thresh = float(score_thresh)
+    keep = scores >= thresh
     order = np.argsort(-scores[keep])
     det_idx = np.nonzero(keep)[0][order]
 
@@ -83,9 +90,15 @@ def match_instances(detections, gt_masks, gt_classes, gt_valid=None,
 
 def evaluate_instance_model(trainer, num_images=32, seed=10_000,
                             iou_thresh=0.5, score_thresh=0.3,
-                            batch_size=None, mask_thresh=0.5):
+                            batch_size=None, mask_thresh=0.5,
+                            nms_sigma=2.0):
     """Held-out quality of an InstanceTrainer on fixed-seed synthetic
     batches (a key stream disjoint from training, which uses seed+1).
+
+    ``score_thresh`` may be a scalar or a per-class sequence indexed by
+    class id (decode runs at the minimum so Matrix-NMS sees every
+    candidate; the per-class cut applies at matching). ``nms_sigma`` is
+    the Matrix-NMS decay strength.
 
     Returns dict: recall, precision, mean_best_iou, per_class_recall,
     n_gt, n_det — aggregated over all images.
@@ -95,6 +108,10 @@ def evaluate_instance_model(trainer, num_images=32, seed=10_000,
     from ..preprocess import pipeline as P
 
     batch_size = batch_size or trainer.batch_size
+    decode_thresh = (float(np.min(score_thresh))
+                     if np.ndim(score_thresh) > 0
+                     or isinstance(score_thresh, (list, tuple))
+                     else float(score_thresh))
     tp = n_gt = n_det = 0
     best_ious = []
     per_class_tp = {}
@@ -108,8 +125,9 @@ def evaluate_instance_model(trainer, num_images=32, seed=10_000,
         images = P.imagenet_normalize(P.extract_channels(batch["waterfall"]))
         take = min(batch_size, num_images - done)
         dets = trainer.predict(np.asarray(images[:take]),
-                               score_thresh=score_thresh,
-                               mask_thresh=mask_thresh)
+                               score_thresh=decode_thresh,
+                               mask_thresh=mask_thresh,
+                               nms_sigma=nms_sigma)
         gms = np.asarray(batch["inst_masks"][:take])
         gcs = np.asarray(batch["inst_classes"][:take])
         gvs = np.asarray(batch["inst_valid"][:take])
@@ -138,5 +156,11 @@ def evaluate_instance_model(trainer, num_images=32, seed=10_000,
         "n_det": n_det,
         "num_images": num_images,
         "iou_thresh": iou_thresh,
-        "score_thresh": score_thresh,
+        "score_thresh": (
+            [float(t) for t in np.asarray(score_thresh).ravel()]
+            if np.ndim(score_thresh) > 0
+            or isinstance(score_thresh, (list, tuple))
+            else score_thresh
+        ),
+        "nms_sigma": nms_sigma,
     }

@@ -132,6 +132,9 @@ class InstanceTrainer:
         seed=0,
         use_pallas="auto",
         mask_loss_stride=2,
+        noise_level=1.0,
+        rfi_power_min=1000.0,
+        rfi_power_max=10000.0,
     ):
         self.model = model if model is not None else SOLOLite(
             num_classes=6, grid_size=max(patch_size // 16, 4)
@@ -147,7 +150,9 @@ class InstanceTrainer:
                 "frequency_sweep": {"count": [0, 1]},
             }
         sample_fn = make_instance_sample_generator(
-            patch_size, patch_size, rfi_config=rfi_config
+            patch_size, patch_size, rfi_config=rfi_config,
+            noise_level=noise_level, rfi_power_min=rfi_power_min,
+            rfi_power_max=rfi_power_max,
         )
         self._sample_fn = sample_fn
         self._batch_fn = jax.jit(
@@ -284,13 +289,16 @@ class InstanceTrainer:
         return {"history": history}
 
     def predict(self, images, score_thresh=0.3, full_resolution=True,
-                mask_thresh=0.5):
+                mask_thresh=0.5, nms_sigma=2.0):
         """Decode instances for (N, p, p, 3) float images. Returns a
         list of per-image dicts (masks/scores/classes); masks are
         upsampled to the input resolution unless full_resolution=False
         (the mask head runs at input/4). ``mask_thresh`` is the sigmoid
         cut on mask logits (lower grows masks — useful for thin
-        events)."""
+        events). ``nms_sigma`` is the Matrix-NMS decay strength —
+        larger kills near-duplicate detections harder (a precision
+        knob; recall is threshold-bound, see BASELINE.md round-4
+        calibration)."""
         from ..models.instance import solo_decode
 
         images = jnp.asarray(images)
@@ -301,7 +309,8 @@ class InstanceTrainer:
                 np.asarray,
                 solo_decode(jax.tree.map(lambda a: a[i], out),
                             score_thresh=score_thresh,
-                            mask_thresh=mask_thresh, out_size=out_size),
+                            mask_thresh=mask_thresh, out_size=out_size,
+                            nms_sigma=nms_sigma),
             )
             for i in range(len(images))
         ]
