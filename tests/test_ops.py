@@ -126,3 +126,47 @@ def test_conv3x3_gradients_parity(rng):
     for a, bb, name in zip(gp, gx, "xwb"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=1e-3, err_msg=f"grad {name}")
+
+
+def test_double_conv_gn_relu_parity(rng):
+    """Fused DoubleConv forward (conv3x3 -> GroupNorm -> ReLU x 2)
+    matches the flax.linen eval forward it fuses."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.ops.fused_doubleconv import double_conv_gn_relu
+
+    # ci != co exercises the separate second pad scratch; ci == co the
+    # scratch-reuse path (the VMEM-critical production case)
+    for ci, co, g in ((8, 16, 8), (16, 16, 8)):
+
+        class Ref(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                for _ in range(2):
+                    x = nn.Conv(co, (3, 3), padding="SAME",
+                                use_bias=False)(x)
+                    x = nn.GroupNorm(num_groups=g)(x)
+                    x = nn.relu(x)
+                return x
+
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, ci)).astype(np.float32))
+        ref = Ref()
+        v = ref.init(jax.random.key(0), x)
+        # non-trivial GN affines so the fusion is load-bearing
+        p = jax.tree.map(
+            lambda a: a + jnp.asarray(rng.normal(0, 0.3, a.shape), a.dtype),
+            v["params"],
+        )
+        want = ref.apply({"params": p}, x)
+        got = double_conv_gn_relu(
+            x,
+            p["Conv_0"]["kernel"], p["GroupNorm_0"]["scale"],
+            p["GroupNorm_0"]["bias"],
+            p["Conv_1"]["kernel"], p["GroupNorm_1"]["scale"],
+            p["GroupNorm_1"]["bias"],
+            num_groups=g, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
