@@ -411,7 +411,6 @@ class Trainer:
         elif self.state is None:
             self.state = self._init_state(input_shape)
 
-        rng = np.random.default_rng(self.seed)
         if val_dataset is not None and val_stream is None:
             # convert once, not per epoch (the reference-scale val set is
             # 1000 x 1024^2 — per-epoch np.asarray churn is pure waste)
@@ -426,6 +425,11 @@ class Trainer:
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
             train_losses = []
+            # Shuffle keyed by (seed, epoch), not by a running RNG: a
+            # resumed run replays the uninterrupted run's exact data
+            # order, making resume == uninterrupted bit-for-bit
+            # (asserted in tests/test_distributed.py under 2-process dp).
+            rng = np.random.default_rng((self.seed, epoch))
             batches = (
                 train_stream.iter_epoch(batch_size, rng)
                 if train_stream is not None

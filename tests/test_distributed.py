@@ -13,6 +13,7 @@ import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -85,6 +86,107 @@ def test_two_process_distributed_smoke(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
         assert "WORKER_OK" in out, out
+
+
+_CKPT_WORKER = textwrap.dedent("""
+    import json
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, {repo!r})
+    from rfi_toolbox_tpu.parallel.distributed import (
+        global_mesh, initialize_distributed,
+    )
+
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    mode = sys.argv[3]            # 'full' | 'first' | 'resume'
+    ckpt_dir = sys.argv[4]
+    assert initialize_distributed(
+        coordinator_address=f"localhost:{{port}}",
+        num_processes=2, process_id=pid,
+    )
+
+    import numpy as np
+    from rfi_toolbox_tpu.data import ArrayDataset
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import Trainer
+
+    # identical deterministic data on both processes (single-controller
+    # SPMD: every process feeds the same global batch, jax shards it)
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+    lbls = (rng.uniform(size=(8, 16, 16)) > 0.8).astype(np.uint8)
+    ds = ArrayDataset(imgs, lbls)
+
+    mesh = global_mesh()           # 'data' axis spanning both processes
+    assert mesh.devices.size == 2
+    model = UNet(out_channels=1, init_features=4)
+    # EVERY process passes the (shared-filesystem) checkpoint dir:
+    # Orbax's save is a collective -- the primary host writes, the
+    # others join its cross-process barriers. A process that skips
+    # save_checkpoint deadlocks the ones that call it.
+    cdir = ckpt_dir if mode != 'resume' else None
+    trainer = Trainer(model, mesh=mesh, seed=0, checkpoint_dir=cdir)
+
+    if mode == 'full':
+        r = trainer.fit(ds, num_epochs=4, batch_size=8)
+    elif mode == 'first':
+        r = trainer.fit(ds, num_epochs=2, batch_size=8)
+    else:
+        r = trainer.fit(ds, num_epochs=4, batch_size=8,
+                        resume_from=ckpt_dir + '/unet_rfi_final')
+    losses = [h['train_loss'] for h in r['history']]
+    print('LOSSES ' + json.dumps(losses), flush=True)
+""").format(repo=REPO_ROOT)
+
+
+def _run_two_process(tmp_path, script, mode, ckpt_dir):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    worker = tmp_path / "ckpt_worker.py"
+    worker.write_text(script)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port), mode,
+             str(ckpt_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    losses = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"{mode} proc {pid} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("LOSSES ")]
+        assert line, out
+        import json as _json
+
+        losses.append(_json.loads(line[-1][len("LOSSES "):]))
+    # both processes observe the identical (replicated) loss trajectory
+    assert losses[0] == losses[1], losses
+    return losses[0]
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_restore_resumes_exactly(tmp_path):
+    """Round-3 verdict #6 (multi-host beyond the smoke): a 2-process dp
+    train whose process-0 Orbax checkpoint, restored in a FRESH
+    2-process run, continues on the uninterrupted run's exact loss
+    trajectory. Exercises multi-process save (host-gathered replicated
+    state), cross-process restore from shared disk, and device_put of
+    restored arrays onto the global mesh."""
+    ckpt = tmp_path / "ckpts"
+    full = _run_two_process(tmp_path, _CKPT_WORKER, "full", ckpt)
+    first = _run_two_process(tmp_path, _CKPT_WORKER, "first", ckpt)
+    resumed = _run_two_process(tmp_path, _CKPT_WORKER, "resume", ckpt)
+    assert len(full) == 4 and len(first) == 2 and len(resumed) == 2
+    assert first == full[:2], (first, full)
+    np.testing.assert_allclose(resumed, full[2:], rtol=0, atol=0)
 
 
 def test_explicit_coordinator_failure_is_loud():
