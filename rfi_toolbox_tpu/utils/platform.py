@@ -46,6 +46,8 @@ def enable_compilation_cache(cache_dir=None):
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "rfi_jax_cache"),
     )
+    if not cache_dir:  # "" is the documented opt-out
+        return None
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
