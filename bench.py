@@ -91,6 +91,35 @@ def unet_train_flops_analytic(batch, hw=128, in_ch=3, f=32, depth=4,
     return 6 * macs * batch
 
 
+def unet_s2d_train_flops_analytic(batch, hw=128, in_ch=3, f=32, depth=4,
+                                  out_ch=1):
+    """Analytic FLOPs for the space-to-depth packed UNet variant
+    (``UNet(space_to_depth=True)``): the whole network runs at hw/2,
+    the packing replaces the first resolution level (depth-1 encoder
+    stages at features 2f..), logits restored by a 4x-channel 1x1 head
+    + depth-to-space. Same counting rules as
+    :func:`unet_train_flops_analytic`."""
+    macs = 0
+    h = hw // 2
+    c_in = 4 * in_ch
+    for i in range(depth - 1):                  # packed encoder stages
+        c = f * 2 ** (i + 1)
+        macs += h * h * 9 * (c_in * c + c * c)
+        c_in = c
+        h //= 2
+    c = f * 2**depth                            # bottleneck (unchanged)
+    macs += h * h * 9 * (c_in * c + c * c)
+    c_in = c
+    for i in reversed(range(depth - 1)):        # packed decoder stages
+        co = f * 2 ** (i + 1)
+        h *= 2
+        macs += h * h * c_in * co               # 2x2 stride-2 up-conv
+        macs += h * h * 9 * (2 * co * co + co * co)
+        c_in = co
+    macs += h * h * c_in * 4 * out_ch           # packed 1x1 head
+    return 6 * macs * batch
+
+
 def _enable_cache():
     # persist XLA compiles across runs (remote-TPU compiles are 30-60 s
     # per shape); the measured numbers always exclude compile anyway
@@ -142,6 +171,19 @@ def main():
         )
         return jnp.asarray(ds.images), jnp.asarray(ds.labels, jnp.float32)
 
+    def preprocess_static(key, k):
+        # fully-device selection (static_select_flagged): the steady-state
+        # loop contains NO data-dependent host readback — every iteration
+        # is pure async dispatch, so preprocessing rides the device queue
+        # behind the previous train scan instead of serializing on a
+        # blank-removal round trip (round-3 verdict #2)
+        wf, mask, _ = batch_gen(jax.random.split(key, B))
+        ds = Preprocessor(wf, flags=mask).create_dataset(
+            patch_size=PATCH, use_custom_flags=True, seed=0,
+            static_num_patches=k,
+        )
+        return jnp.asarray(ds.images), jnp.asarray(ds.labels, jnp.float32)
+
     def chunk(images, labels):
         n = (len(images) // TRAIN_BATCH) * TRAIN_BATCH
         s = n // TRAIN_BATCH
@@ -158,8 +200,15 @@ def main():
         state, losses = train_steps(state, imgs, lbls)
         return state, losses[-1]
 
-    # Warmup: compile generation, preprocessing and train step.
-    images, labels = preprocess(jax.random.key(0))
+    # Probe: ONE host-path preprocess picks the static patch budget K
+    # (the kept-count of a representative iteration, rounded down to
+    # whole train batches); every steady-state iteration then processes
+    # exactly K patches via the device-side selection.
+    images, _ = preprocess(jax.random.key(0))
+    K = max((len(images) // TRAIN_BATCH) * TRAIN_BATCH, TRAIN_BATCH)
+
+    # Warmup: compile generation, static preprocessing and train step.
+    images, labels = preprocess_static(jax.random.key(0), K)
     state, loss = train_all(state, images, labels)
     _sync(loss)
 
@@ -198,42 +247,29 @@ def main():
             xla_flops / n_steps
         )
 
-    # Pipelined steady state: thanks to async dispatch, preprocessing
-    # iteration i+1 (including its small host sync for blank removal)
-    # overlaps with the device still executing iteration i's train steps.
-    # FIVE timed windows, median kept (recorded in the JSON): the
-    # remote-TPU tunnel occasionally injects multi-hundred-ms stalls
-    # that are transport noise, not device throughput.
+    # Pipelined steady state: the static-selection path makes every
+    # iteration pure async dispatch (no blank-removal host readback —
+    # the round-3 pipeline/train gap was that blocking round trip), so
+    # generation + preprocessing of iteration i+1 queues behind train
+    # step i and the device never waits on the host. FIVE timed
+    # windows, median kept (recorded in the JSON): the remote-TPU
+    # tunnel occasionally injects multi-hundred-ms stalls that are
+    # transport noise, not device throughput.
     def timed_window(seed0, iters=4):
         nonlocal state
         total_patches = 0
-        nxt = preprocess(jax.random.key(seed0))
+        nxt = preprocess_static(jax.random.key(seed0), K)
         t0 = time.perf_counter()
         for i in range(iters):
             images, labels = nxt
-            if i + 1 < iters:
-                nxt = preprocess(jax.random.key(seed0 + i + 1))
             state, loss = train_all(state, images, labels)
+            if i + 1 < iters:
+                nxt = preprocess_static(jax.random.key(seed0 + i + 1), K)
             total_patches += len(images)
         _sync(loss)
         return total_patches / (time.perf_counter() - t0)
 
-    # Pre-compile every scan length the timed windows will see: the
-    # kept-patch count is data-dependent (blank removal), and an unseen
-    # length compiling mid-window (30-60 s remote) would poison that
-    # window's number.
     window_seeds = (1, 10, 20, 30, 40)
-    seen_lengths = {n_steps}
-    for s0 in window_seeds:
-        for i in range(4):
-            images, labels = preprocess(jax.random.key(s0 + i))
-            s = len(images) // TRAIN_BATCH
-            if s and s not in seen_lengths:
-                seen_lengths.add(s)
-                state, loss = train_all(state, images, labels)
-    if len(seen_lengths) > 1:
-        _sync(loss)
-
     windows = [timed_window(s) for s in window_seeds]
     value = float(np.median(windows))
     print(
@@ -246,6 +282,10 @@ def main():
                 "windows": len(windows),
                 "selection": "median",
                 "window_values": [round(w, 1) for w in windows],
+                "static_patches_per_iter": K,
+                "pipeline_vs_train_only": round(
+                    value / train_patches_per_s, 3
+                ),
                 "train_step": train_info,
             }
         )
@@ -543,6 +583,52 @@ def bench_flag_model8():
     }))
 
 
+def bench_flag_model8_device():
+    """Device-only variant of ``flag_model8`` (round-3 verdict #10): the
+    production number swings 1.8-4.0 Mvis/s with tunnel load because the
+    complex-visibility upload rides the host path every request. Here
+    the input is pre-staged on device ONCE before timing and the bool
+    flags stay device-resident (each iteration syncs via a one-element
+    readback, not a full download), so the JSON records pure compute
+    capability; ``flag_model8`` keeps recording the transport-inclusive
+    production number next to it."""
+    from rfi_toolbox_tpu.io import flag_waterfalls_coherent
+    from rfi_toolbox_tpu.serving import CompiledPredictor
+    from rfi_toolbox_tpu.utils import to_device
+
+    B, C, T = 2, 1024, 1024
+    rng = np.random.default_rng(0)
+    pred = CompiledPredictor.from_snapshot(
+        "pretrained/unet16gn_coherent8ch.npz", batch_size=64,
+    )
+    base = rng.normal(1.0, 0.1, (B, 4, C, T))
+    base[:, :, 100:110, :] += 3e3
+    vis = (base * np.exp(1j * rng.uniform(0, 6.28, base.shape))).astype(
+        np.complex64
+    )
+    vis_dev = to_device(vis, dtype=np.complex64)   # staged ONCE
+    flag_waterfalls_coherent(vis_dev, pred, patch_size=128)  # warm
+    windows, iters = [], 5
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            flags = flag_waterfalls_coherent(vis_dev, pred, patch_size=128)
+            _sync(flags)            # one-element readback, flags stay on device
+        windows.append(
+            iters * B * 4 * C * T / (time.perf_counter() - t0) / 1e6
+        )
+    value = float(np.median(windows))
+    print(json.dumps({
+        "metric": "flag_model8_device_megavis_per_sec",
+        "value": round(value, 2),
+        "unit": "Mvis/s (device-resident: input pre-staged, flags on device)",
+        "windows": len(windows),
+        "iters_per_window": iters,
+        "selection": "median",
+        "window_values": [round(w, 2) for w in windows],
+    }))
+
+
 def bench_ms_roundtrip():
     """BASELINE config 5: MSLoader -> fused preprocess -> MAD inference
     -> save_flags, visibilities/sec through the full round trip (FakeMS
@@ -622,6 +708,121 @@ def bench_train_norms():
     }))
 
 
+def bench_cold_compile():
+    """Compile time as a recorded metric (round-3 verdict #3): cold
+    trace+compile seconds of the all-six instance program — the exact
+    program `train_rfi_model --instance --event_config
+    all_six_events.yaml` traces (K=10 scan of on-device generation +
+    SOLOLite f=48 fwd+bwd at batch 64). The persistent compilation
+    cache is disabled for this process so the number is a true cold
+    compile. Breakdown per structural piece in runs/compile_time.py."""
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)
+
+    import optax
+
+    from rfi_toolbox_tpu.models.instance import SOLOLite
+    from rfi_toolbox_tpu.synth.sample import make_instance_sample_generator
+    from rfi_toolbox_tpu.train.instance_trainer import (
+        make_instance_fused_steps,
+    )
+
+    all_six = {
+        "narrowband_persistent": {"count": [1, 3]},
+        "broadband_persistent": {"count": [0, 2]},
+        "narrowband_intermittent": {"count": [0, 2]},
+        "narrowband_bursty": {"count": [0, 2]},
+        "broadband_bursty": {"count": [0, 2]},
+        "frequency_sweep": {"count": [0, 1]},
+    }
+    sample_fn = make_instance_sample_generator(128, 128,
+                                               rfi_config=all_six)
+    model = SOLOLite(num_classes=6, grid_size=8, features=48, embed_dim=48)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(8e-4, weight_decay=1e-5))
+    fused = make_instance_fused_steps(model, tx, sample_fn, batch_size=64)
+
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    params = model.init(key, jnp.zeros((1, 128, 128, 3), jnp.float32),
+                        train=False)["params"]
+    opt_state = tx.init(params)
+    keys = jax.random.split(key, 10)
+    t0 = time.perf_counter()
+    lowered = fused.lower(params, opt_state, keys)
+    t_lower = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lowered.compile()
+    t_compile = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "cold_compile_all6_s",
+        "value": round(t_lower + t_compile, 1),
+        "unit": "s (cold trace+lower+compile, all-six K=10 fused program)",
+        "lower_s": round(t_lower, 1),
+        "compile_s": round(t_compile, 1),
+    }))
+
+
+def bench_train_s2d():
+    """Round-3 verdict #1c: the space-to-depth packed UNet
+    (``UNet(space_to_depth=True)``, opt-in, beyond reference parity) vs
+    the reference-parity UNet, device-resident fwd+bwd at the headline
+    shapes. The packed variant removes the 25%-MXU-utilization
+    full-resolution stages entirely (BASELINE.md roofline table), so it
+    should clear the architecture's 53% effective ceiling."""
+    import jax
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.train import create_train_state, train_steps
+
+    TRAIN_BATCH, PATCH, STEPS = 128, 128, 8
+    key = jax.random.key(0)
+    imgs = jax.random.normal(key, (STEPS, TRAIN_BATCH, PATCH, PATCH, 3),
+                             jnp.float32)
+    lbls = (jax.random.uniform(key, (STEPS, TRAIN_BATCH, PATCH, PATCH))
+            > 0.9).astype(jnp.float32)
+
+    results = {}
+    for name, s2d, flops_fn in (
+        ("baseline", False, unet_train_flops_analytic),
+        ("space_to_depth", True, unet_s2d_train_flops_analytic),
+    ):
+        model = UNet(out_channels=1, init_features=32, dtype=jnp.bfloat16,
+                     norm="group", space_to_depth=s2d)
+        state = create_train_state(model, jax.random.key(1),
+                                   (1, PATCH, PATCH, 3))
+        state, losses = train_steps(state, imgs, lbls)  # compile + warm
+        _sync(losses)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, losses = train_steps(state, imgs, lbls)
+        _sync(losses)
+        dt = (time.perf_counter() - t0) / reps
+        tflops = flops_fn(TRAIN_BATCH) * STEPS / dt / 1e12
+        results[name] = {
+            "patches_per_sec": round(STEPS * TRAIN_BATCH / dt, 1),
+            "flops_per_patch_analytic": round(flops_fn(1)),
+            "achieved_tflops": round(tflops, 1),
+            "mfu_pct_v5e_bf16": round(
+                100 * tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 1),
+        }
+
+    speedup = (results["space_to_depth"]["patches_per_sec"]
+               / results["baseline"]["patches_per_sec"])
+    print(json.dumps({
+        "metric": "train_s2d_patches_per_sec",
+        "value": results["space_to_depth"]["patches_per_sec"],
+        "unit": "patches/s (device-resident fwd+bwd, space_to_depth=True)",
+        "vs_baseline": round(speedup, 3),
+        "baseline": "UNet32-GN reference-parity architecture, same shapes",
+        **results,
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -632,7 +833,10 @@ if __name__ == "__main__":
         "fourpol": "bench_fourpol",
         "serving": "bench_serving",
         "flag_model8": "bench_flag_model8",
+        "flag_model8_device": "bench_flag_model8_device",
         "train_norms": "bench_train_norms",
+        "train_s2d": "bench_train_s2d",
+        "cold_compile": "bench_cold_compile",
     }
     _enable_cache()
     if len(sys.argv) > 1 and sys.argv[1] in configs:
