@@ -13,7 +13,7 @@ __all__ = ["main", "evaluate_model"]
 
 def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
                    model_type="unet", init_features=None, threshold=None,
-                   tta=False, norm=None):
+                   tta=False, norm=None, space_to_depth=None):
     """Average IoU/precision/recall/F1/Dice of a checkpoint over a
     sample-directory dataset. Returns the metric dict.
 
@@ -39,10 +39,10 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
             threshold = meta.get("best_threshold", 0.5)
         if norm is None:
             norm = meta.get("norm", "batch")
+        if space_to_depth is None:
+            space_to_depth = bool(meta.get("space_to_depth", False))
         model = create_model(model_type, init_features=init_features,
-                             norm=norm,
-                             space_to_depth=bool(
-                                 meta.get("space_to_depth", False)))
+                             norm=norm, space_to_depth=space_to_depth)
         trainer = Trainer(model)
         trainer.state = trainer._init_state(ds.images.shape[1:])
         trainer.state = trainer.state.replace(params=params,
@@ -51,7 +51,8 @@ def evaluate_model(model_path, dataset_dir, batch_size=8, in_channels=8,
         if init_features is None:
             init_features = 32
         model = create_model(model_type, init_features=init_features,
-                             norm=norm or "batch")
+                             norm=norm or "batch",
+                             space_to_depth=bool(space_to_depth))
         trainer = Trainer(model)
         trainer.restore(model_path, ds.images.shape[1:])
     if threshold is None:
@@ -114,6 +115,11 @@ def main(argv=None):
                         choices=["batch", "group", "none"],
                         help="UNet normalization; default: snapshot "
                         "metadata norm, else 'batch'")
+    parser.add_argument("--space_to_depth", action="store_true",
+                        default=None,
+                        help="Rebuild the MXU-packed UNet variant for an "
+                        "Orbax checkpoint dir; .npz snapshots default "
+                        "from metadata")
     parser.add_argument("--instance", action="store_true",
                         help="Evaluate a SOLOLite instance snapshot on "
                         "fixed-seed held-out synthetic batches instead "
@@ -151,9 +157,10 @@ def main(argv=None):
             parser.error("--coherent and --instance are exclusive")
         if args.event_config is not None:
             parser.error("--event_config applies only to --instance")
-        if args.init_features is not None or args.norm is not None:
-            parser.error("--init_features/--norm come from the "
-                         "snapshot metadata with --coherent")
+        if (args.init_features is not None or args.norm is not None
+                or args.space_to_depth is not None):
+            parser.error("--init_features/--norm/--space_to_depth come "
+                         "from the snapshot metadata with --coherent")
         from rfi_toolbox_tpu.train import CoherentTrainer
 
         trainer = CoherentTrainer.load(args.model_path)
@@ -195,6 +202,7 @@ def main(argv=None):
         args.model_path, args.dataset_dir, args.batch_size,
         args.in_channels, args.model_type, args.init_features,
         threshold=args.threshold, tta=args.tta, norm=args.norm,
+        space_to_depth=args.space_to_depth,
     )
     print("Evaluation Results:")
     for metric, value in results.items():

@@ -84,6 +84,7 @@ def _train_coherent(args, given):
         seed=args.seed,
         mesh=mesh,
         norm=args.norm,
+        space_to_depth=args.space_to_depth,
     )
 
     ckpt_dir = Path(args.checkpoint_dir)
@@ -291,6 +292,13 @@ def main(argv=None):
         "running-stats calibration is unstable on this heavy-tailed "
         "task; see BASELINE.md)")
     parser.add_argument(
+        "--space_to_depth", action="store_true",
+        help="[--coherent] build the MXU-packed UNet variant "
+        "(UNet(space_to_depth=True) — the whole network runs at half "
+        "spatial resolution; ~1.8x faster per step, see bench.py "
+        "train_s2d). Recorded in exported snapshot metadata so "
+        "evaluate/serving reconstruct it")
+    parser.add_argument(
         "--instance", action="store_true",
         help="Train a SOLOLite instance-segmentation detector on "
         "device-generated synthetic events (InstanceTrainer — the "
@@ -438,7 +446,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     model = create_model(
         args.model_type, init_features=args.init_features, dtype=dtype,
-        norm=args.norm,
+        norm=args.norm, space_to_depth=args.space_to_depth,
     )
     lr = args.new_lr if (args.checkpoint_path and args.new_lr) else args.lr
     mesh_shape = (tuple(int(x) for x in str(args.mesh_shape).split(","))

@@ -244,6 +244,33 @@ def test_train_cli_coherent_export_and_resume(tmp_path):
     assert res2["steps"] == 6
 
 
+def test_train_cli_coherent_space_to_depth(tmp_path):
+    """--coherent --space_to_depth trains the MXU-packed variant and the
+    exported snapshot records the flag, so evaluate_rfi_model --coherent
+    reconstructs the packed architecture from metadata alone."""
+    snap = tmp_path / "s2d.npz"
+    res = train_main([
+        "--coherent", "--space_to_depth", "--num_steps", "4",
+        "--fused_steps", "2", "--size", "32", "--batch_size", "2",
+        "--init_features", "4", "--norm", "group",
+        "--checkpoint_dir", str(tmp_path / "ck"),
+        "--eval_batches", "1", "--seed", "0", "--export", str(snap),
+    ])
+    assert res["steps"] == 4
+
+    from rfi_toolbox_tpu.train import load_params
+
+    _, _, meta = load_params(snap)
+    assert meta["space_to_depth"] is True
+
+    from rfi_toolbox_tpu.cli.evaluate_model import main as eval_main
+
+    out = eval_main(["--model_path", str(snap), "--coherent",
+                     "--num_images", "1", "--batch_size", "1",
+                     "--threshold", "0.5"])
+    assert 0.0 <= out["best_iou"] <= 1.0
+
+
 def test_train_cli_instance_export_and_resume(tmp_path):
     """--instance trains SOLOLite on device-generated events: custom
     event mix via --event_config, checkpoints per --checkpoint_every,
