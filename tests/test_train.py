@@ -1,5 +1,7 @@
 """Tests for losses, the training loop, checkpoint/resume, sharding."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -192,37 +194,79 @@ def test_scan_fused_train_steps_match_sequential(rng):
     )
 
 
-def test_dp8_reproduces_single_device_losses(rng):
+_DP8_CHILD = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax.numpy as jnp
+
+from rfi_toolbox_tpu.models import UNet
+from rfi_toolbox_tpu.parallel import make_mesh, shard_batch
+from rfi_toolbox_tpu.train import create_train_state, train_step
+
+assert len(jax.devices()) >= 8
+rng = np.random.default_rng(0)
+imgs0 = rng.random((16, 16, 16, 3)).astype(np.float32)
+lbls0 = (rng.random((16, 16, 16)) > 0.8).astype(np.float32)
+model = UNet(out_channels=1, init_features=4)
+
+
+def run(shard):
+    state = create_train_state(model, jax.random.key(0), (1, 16, 16, 3))
+    imgs = jnp.asarray(imgs0)
+    lbls = jnp.asarray(lbls0)
+    if shard:
+        mesh = make_mesh(axis_names=("data",))
+        imgs, lbls = shard_batch((imgs0, lbls0), mesh)
+    losses = []
+    for _ in range(3):
+        state, loss = train_step(state, imgs, lbls)
+        losses.append(float(loss))
+    return losses
+
+
+single = run(shard=False)
+dp8 = run(shard=True)
+np.testing.assert_allclose(dp8, single, rtol=1e-5, atol=1e-6)
+print("DP8_OK", flush=True)
+"""
+
+
+def test_dp8_reproduces_single_device_losses(tmp_path):
     """Same data, same init: the 8-device dp step must yield the same
     loss trajectory as the single-device step (round-2 verdict #9 —
-    the sharding changes WHERE the math runs, never WHAT it computes)."""
-    import jax
-    import jax.numpy as jnp
+    the sharding changes WHERE the math runs, never WHAT it computes).
 
-    from rfi_toolbox_tpu.train import create_train_state, train_step
+    Runs in a FRESH subprocess (the test_distributed.py pattern): this
+    exact in-process compile SEGFAULTED XLA:CPU's backend_compile in
+    four independent full-suite runs (2026-08-19, rc=139 inside
+    backend_compile_and_load, persistent cache disabled) while every
+    shorter-prefix reproduction — the a-l file prefix plus this test
+    (122 tests), or m-t alone — passes. The corruption lives in
+    ~190-test process state, not in this program (a UNet f=4 on 16^2
+    over the 8-virtual-device mesh compiles everywhere else);
+    isolation keeps the numeric assertion and makes the suite robust
+    to the crash, which took every later test down with it."""
+    import subprocess
+    import sys
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
-    ds = _toy_dataset(rng, n=16, size=16)
-    model = UNet(out_channels=1, init_features=4)
-
-    def run(shard):
-        state = create_train_state(model, jax.random.key(0), (1, 16, 16, 3))
-        imgs = jnp.asarray(ds.images)
-        lbls = jnp.asarray(ds.labels, jnp.float32)
-        if shard:
-            mesh = make_mesh(axis_names=("data",))
-            imgs, lbls = shard_batch((np.asarray(imgs), np.asarray(lbls)),
-                                     mesh)
-        losses = []
-        for _ in range(3):
-            state, loss = train_step(state, imgs, lbls)
-            losses.append(float(loss))
-        return losses
-
-    single = run(shard=False)
-    dp8 = run(shard=True)
-    np.testing.assert_allclose(dp8, single, rtol=1e-5, atol=1e-6)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    script = tmp_path / "dp8_child.py"
+    script.write_text(_DP8_CHILD.format(repo=repo))
+    proc = subprocess.run(
+        [sys.executable, str(script)], env=env, capture_output=True,
+        text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "DP8_OK" in proc.stdout
 
 
 def test_shard_batch_places_on_mesh(rng):
