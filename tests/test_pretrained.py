@@ -142,6 +142,8 @@ WEIGHTS_16GN = (Path(__file__).parent.parent / "pretrained"
                 / "unet16gn_coherent8ch.npz")
 WEIGHTS_32GN = (Path(__file__).parent.parent / "pretrained"
                 / "unet32gn_coherent8ch.npz")
+WEIGHTS_16GN_S2D = (Path(__file__).parent.parent / "pretrained"
+                    / "unet16gn_s2d_coherent8ch.npz")
 
 
 @pytest.mark.slow
@@ -162,6 +164,10 @@ WEIGHTS_32GN = (Path(__file__).parent.parent / "pretrained"
         # (TPU means 0.9369 plain / 0.9384 TTA @ 0.5;
         # CPU 1-batch 0.9353 / 0.9366)
         pytest.param(WEIGHTS_32GN, 0.929, 0.930, id="unet32gn"),
+        # space-to-depth f=16 tier: ties the f=24 flagship at 1.83x
+        # the train step rate and ~0.77x the inference FLOPs (TPU
+        # means 0.9350 plain / 0.9364 TTA @ 0.45, BASELINE.md round-4)
+        pytest.param(WEIGHTS_16GN_S2D, 0.925, 0.927, id="unet16gn_s2d"),
     ],
 )
 def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
@@ -187,7 +193,8 @@ def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
     size = int(meta.get("train_size", [256, 256])[0])
     th = float(meta.get("best_threshold", 0.5))
     model = UNet(init_features=meta["init_features"],
-                 norm=meta.get("norm", "batch"))
+                 norm=meta.get("norm", "batch"),
+                 space_to_depth=bool(meta.get("space_to_depth", False)))
     x, gt = _coherent8ch_batch(jax.random.key(10_000), 8, size)
 
     def probs(a):
