@@ -314,8 +314,24 @@ def solo_loss(outputs, inst_masks, inst_classes, inst_valid,
 # inference
 # ---------------------------------------------------------------------------
 def matrix_nms(masks, scores, classes, sigma=2.0):
-    """Matrix NMS (SOLOv2): decay scores by pairwise mask IoU — fully
-    vectorized, no sequential suppression loop.
+    """Matrix NMS (SOLOv2 eq. 4): decay scores by pairwise mask IoU —
+    fully vectorized, no sequential suppression loop.
+
+    Per target i the decay is ``min over suppressors j`` (same-class,
+    higher-scored) of ``exp(-sigma * iou_ij^2) / exp(-sigma * c_j^2)``,
+    where ``c_j`` is the max IoU suppressor j itself suffers from ITS
+    higher-scored same-class masks — the compensation estimates the
+    probability that j survives to do the suppressing.
+
+    An earlier version compensated with the TARGET's max IoU against
+    LOWER-scored masks instead; in duplicate clusters (3+ detections on
+    one instance — routine for large broadband events firing several
+    grid cells) that term equals the decay term and cancels it, so
+    mid-ranked duplicates were never suppressed at any sigma. That was
+    the round-4 FP diagnosis's dominant mode (48 of 95 held-out all-six
+    false positives were duplicates; runs/diagnose_all6_fp.json) and
+    the reason the decode-calibration sigma sweep barely moved
+    precision.
 
     Args:
         masks: (K, h, w) binary masks.
@@ -332,11 +348,13 @@ def matrix_nms(masks, scores, classes, sigma=2.0):
     union = areas[:, None] + areas[None, :] - inter
     iou = inter / jnp.maximum(union, 1e-6)
     same_class = classes[:, None] == classes[None, :]
-    higher = scores[None, :] > scores[:, None]
-    decay_iou = jnp.where(same_class & higher, iou, 0.0).max(axis=1)
-    # also the max IoU the suppressor itself suffered (SOLOv2 eq. 4)
-    comp_iou = jnp.where(same_class, iou * higher, 0.0).max(axis=0)
-    decay = jnp.exp(-sigma * (decay_iou**2 - comp_iou**2))
+    higher = scores[None, :] > scores[:, None]  # [i, j]: j outranks i
+    sup = same_class & higher                   # j may suppress i
+    # per mask: the max IoU it suffers from its own suppressors
+    suffered = jnp.where(sup, iou, 0.0).max(axis=1)
+    decay = jnp.where(
+        sup, jnp.exp(-sigma * (iou**2 - suffered[None, :] ** 2)), 1.0
+    ).min(axis=1)
     return scores * jnp.minimum(decay, 1.0)
 
 

@@ -82,6 +82,26 @@ def test_matrix_nms_suppresses_duplicates():
     assert decayed[2] == pytest.approx(0.7, abs=1e-5)   # distinct kept
 
 
+def test_matrix_nms_suppresses_duplicate_clusters():
+    """The cluster case the round-4 FP diagnosis exposed: with 3+
+    same-class detections stacked on one instance, the mid-ranked
+    duplicate must decay too. The old compensation term (target's own
+    IoU vs LOWER-scored masks) exactly cancelled its decay, so it
+    survived at any sigma."""
+    masks = np.zeros((4, 16, 16), bool)
+    masks[0, :8] = True
+    masks[1, :8] = True            # duplicate of 0
+    masks[2, :8] = True            # second duplicate — the cluster case
+    masks[3, 8:] = True            # distinct
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    classes = jnp.asarray([0, 0, 0, 0])
+    decayed = np.asarray(matrix_nms(jnp.asarray(masks), scores, classes))
+    assert decayed[0] == pytest.approx(0.9, abs=1e-5)   # top kept
+    assert decayed[1] < 0.2                              # duplicate decayed
+    assert decayed[2] < 0.2                              # mid-cluster decayed
+    assert decayed[3] == pytest.approx(0.6, abs=1e-5)   # distinct kept
+
+
 def test_instance_generator_and_loss_decreases(rng):
     gen = make_instance_sample_generator(
         64, 64,

@@ -102,11 +102,16 @@ def test_pretrained_sololite_quality_gate():
 @pytest.mark.slow
 @pytest.mark.skipif(not WEIGHTS.exists(), reason="weights not present")
 def test_pretrained_sololite_all_six_family_gate():
-    """Round-3 gate (VERDICT #2): across ALL SIX RFI event families the
-    shipped detector must reach recall >= 0.80 with a per-family recall
-    floor >= 0.70 and precision >= 0.70 @ IoU >= 0.5, correct class
-    required (64 fixed-seed held-out images, score threshold 0.25 as
-    recorded in the snapshot metadata / pretrained README)."""
+    """Round-3 gate (VERDICT #2), precision raised in round 4: across
+    ALL SIX RFI event families the shipped detector must reach recall
+    >= 0.80 with a per-family recall floor >= 0.70 and precision
+    >= 0.80 @ IoU >= 0.5, correct class required (64 fixed-seed
+    held-out images, score threshold 0.25 as recorded in the snapshot
+    metadata / pretrained README). The precision floor rose 0.70 ->
+    0.80 with the Matrix-NMS compensation fix (models/instance.py:
+    duplicate clusters were never suppressed; held-out TPU measurement
+    r=0.822 p=0.883 at this exact operating point, BASELINE.md
+    round-4)."""
     from rfi_toolbox_tpu.evaluation import evaluate_instance_model
     from rfi_toolbox_tpu.train import InstanceTrainer
 
@@ -124,7 +129,7 @@ def test_pretrained_sololite_all_six_family_gate():
                                 iou_thresh=0.5, score_thresh=0.25)
     assert q["n_gt"] > 300  # dense multi-family held-out set
     assert q["recall"] >= 0.80, q
-    assert q["precision"] >= 0.70, q
+    assert q["precision"] >= 0.80, q
     per_class = q["per_class_recall"]
     assert len(per_class) == 6, q  # every family appears in the set
     floor = min(per_class.values())
