@@ -128,7 +128,14 @@ def _enable_cache():
     enable_compilation_cache()
 
 
-def main():
+def main(s2d=False):
+    """Headline pipeline. ``s2d=True`` (the ``pipeline_s2d`` config)
+    swaps in the MXU-packed UNet variant — same pipeline, same data,
+    same quality class on the coherent task (BASELINE.md round-4
+    quality table) — to record what the full generate+preprocess+train
+    loop does when the model is not the parity architecture. The
+    default headline keeps the parity UNet so the number stays
+    comparable to the reference baseline across rounds."""
     import jax
     import jax.numpy as jnp
 
@@ -158,7 +165,8 @@ def main():
     )
     batch_gen = jax.jit(jax.vmap(sample_fn))
 
-    model = UNet(out_channels=1, init_features=32, dtype=jnp.bfloat16)
+    model = UNet(out_channels=1, init_features=32, dtype=jnp.bfloat16,
+                 space_to_depth=s2d)
     state = create_train_state(
         model, jax.random.key(1), (1, PATCH, PATCH, 3), learning_rate=1e-4
     )
@@ -230,7 +238,9 @@ def main():
     _sync(losses)
     dt_call = (time.perf_counter() - t0) / reps
     train_patches_per_s = n_steps * TRAIN_BATCH / dt_call
-    flops_per_step = unet_train_flops_analytic(TRAIN_BATCH)
+    flops_fn = unet_s2d_train_flops_analytic if s2d \
+        else unet_train_flops_analytic
+    flops_per_step = flops_fn(TRAIN_BATCH)
     tflops = flops_per_step * n_steps / dt_call / 1e12
     train_info = {
         "train_batch": TRAIN_BATCH,
@@ -275,9 +285,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "waterfall_patches_per_sec_per_chip",
+                "metric": "waterfall_patches_per_sec_per_chip"
+                          + ("_s2d" if s2d else ""),
                 "value": round(value, 2),
-                "unit": "patches/s (preprocess + UNet fwd+bwd, 1024^2 waterfalls)",
+                "unit": "patches/s (preprocess + UNet"
+                        + ("-s2d" if s2d else "")
+                        + " fwd+bwd, 1024^2 waterfalls)",
                 "vs_baseline": round(value / CPU_REFERENCE_PATCHES_PER_SEC, 2),
                 "windows": len(windows),
                 "selection": "median",
@@ -839,7 +852,9 @@ if __name__ == "__main__":
         "cold_compile": "bench_cold_compile",
     }
     _enable_cache()
-    if len(sys.argv) > 1 and sys.argv[1] in configs:
+    if len(sys.argv) > 1 and sys.argv[1] == "pipeline_s2d":
+        main(s2d=True)
+    elif len(sys.argv) > 1 and sys.argv[1] in configs:
         globals()[configs[sys.argv[1]]]()
     else:
         main()
