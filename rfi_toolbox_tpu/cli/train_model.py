@@ -174,6 +174,7 @@ def _train_instance(args, given):
         weight_decay=args.weight_decay,
         seed=args.seed,
         mask_loss_stride=args.mask_loss_stride,
+        max_positive_cells=args.max_positive_cells,
     )
 
     ckpt_dir = Path(args.checkpoint_dir)
@@ -340,6 +341,11 @@ def main(argv=None):
                         help="[--instance] mask supervision stride "
                         "(2 = half-res, the shipped phase-1 recipe; "
                         "1 = full-res fine-tune)")
+    parser.add_argument("--max_positive_cells", type=int, default=16,
+                        help="[--instance] per-image positive-cell cap "
+                        "in the mask loss; raise for dense event mixes "
+                        "/ finer grids (the loss reports "
+                        "dropped_mask_cells when it truncates)")
     parser.add_argument("--event_config", type=str, default=None,
                         help="[--instance] YAML/JSON rfi_config file "
                         "for the training event mix (same schema as "

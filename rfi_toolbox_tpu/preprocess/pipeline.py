@@ -42,6 +42,7 @@ __all__ = [
     "imagenet_normalize",
     "mad_flag_patches",
     "static_select_flagged",
+    "static_select_from_has",
     "normalize_by_median",
     "apply_stretch",
     "IMAGENET_MEAN",
@@ -243,8 +244,17 @@ def static_select_flagged(flag_patches, k, key):
 
     Returns (k,) int32 patch indices, shuffled with ``key``.
     """
-    n = flag_patches.shape[0]
     has = jnp.any(flag_patches, axis=tuple(range(1, flag_patches.ndim)))
+    return static_select_from_has(has, k, key)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def static_select_from_has(has, k, key):
+    """Core of :func:`static_select_flagged` on a precomputed (N,) bool
+    any-flag vector (the virtual-augmentation path builds ``has`` by
+    index remap without materializing the augmented patches —
+    :mod:`rfi_toolbox_tpu.preprocess.static_prep`)."""
+    n = has.shape[0]
     order = jnp.argsort(jnp.where(has, 0, 1), stable=True)
     n_f = has.sum()
     denom = jnp.maximum(jnp.where(n_f > 0, n_f, n), 1)

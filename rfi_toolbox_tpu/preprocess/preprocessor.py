@@ -196,6 +196,61 @@ class Preprocessor:
             flat.shape[0] * (rotations if do_patch else 1)
         )
 
+        # Fused virtual-augmentation fast path: one jitted program,
+        # patchify once, flags on base patches, selection by index
+        # remap, flip/T applied to only the K gathered patches (exact
+        # output parity with the materialized path —
+        # preprocess/static_prep.py). Requires an exact patch grid
+        # (padding does not commute with flips).
+        if (
+            static_num_patches
+            and not inference_mode
+            and do_patch
+            and h % patch_size == 0
+            and w % patch_size == 0
+        ):
+            if num_patches or pad_to_multiple:
+                raise ValueError(
+                    "static_num_patches is mutually exclusive with "
+                    "num_patches / pad_to_multiple"
+                )
+            import jax
+
+            from .static_prep import make_static_prep_fn
+
+            have_custom = use_custom_flags and self.flags is not None
+            fn = make_static_prep_fn(
+                patch_size,
+                int(static_num_patches),
+                rotations,
+                flags_mode="custom" if have_custom else "mad",
+                flag_sigma=float(flag_sigma),
+                use_pallas=bool(use_pallas),
+                stretch=stretch,
+                normalize_before_stretch=normalize_before_stretch,
+                normalize_after_stretch=normalize_after_stretch,
+            )
+            flag_flat = (
+                _flatten_waterfalls(self.flags) if have_custom else flat
+            )
+            images, labels, self.patches, self.patch_flags = fn(
+                flat, flag_flat,
+                jax.random.key(seed if seed is not None else 0),
+            )
+            metadata = {
+                "patch_size": patch_size,
+                "stretch": stretch,
+                "flag_sigma": flag_sigma,
+                "normalize_before_stretch": normalize_before_stretch,
+                "normalize_after_stretch": normalize_after_stretch,
+                "augmentation_rotations": rotations,
+                "original_shapes": self.original_shapes,
+            }
+            self.dataset = ArrayDataset(
+                images.astype(jnp.float32), labels, metadata
+            )
+            return self.dataset
+
         patches, _ = _augment_and_patchify(flat, patch_size, rotations, do_patch)
 
         have_custom = use_custom_flags and self.flags is not None

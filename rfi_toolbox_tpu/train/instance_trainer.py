@@ -25,9 +25,14 @@ __all__ = ["InstanceTrainer", "make_instance_train_step",
 
 
 def make_instance_train_step(model, tx, use_pallas="auto",
-                             mask_loss_stride=2):
+                             mask_loss_stride=2, max_positive_cells=16):
     """Jitted (params, opt_state, batch) -> (params, opt_state, loss,
-    parts) step for SOLOLite on complex patches + instance targets."""
+    parts) step for SOLOLite on complex patches + instance targets.
+
+    ``max_positive_cells`` bounds the per-image positive-cell gather in
+    :func:`rfi_toolbox_tpu.models.instance.solo_loss`; raise it for
+    dense event mixes / finer grids (the loss reports
+    ``dropped_mask_cells`` when the cap truncates)."""
     if use_pallas == "auto":
         use_pallas = jax.default_backend() != "cpu"
 
@@ -43,7 +48,8 @@ def make_instance_train_step(model, tx, use_pallas="auto",
         def loss_fn(p):
             out = model.apply({"params": p}, images, train=False)
             return solo_loss(out, inst_masks, inst_classes, inst_valid,
-                             mask_loss_stride=mask_loss_stride)
+                             mask_loss_stride=mask_loss_stride,
+                             max_positive_cells=max_positive_cells)
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -54,7 +60,8 @@ def make_instance_train_step(model, tx, use_pallas="auto",
 
 
 def make_instance_fused_steps(model, tx, sample_fn, batch_size,
-                              use_pallas="auto", mask_loss_stride=2):
+                              use_pallas="auto", mask_loss_stride=2,
+                              max_positive_cells=16):
     """K training steps — on-device batch GENERATION included — fused
     into one ``lax.scan`` program: (params, opt_state, keys(K,)) ->
     (params, opt_state, losses(K,), last_parts).
@@ -81,7 +88,8 @@ def make_instance_fused_steps(model, tx, sample_fn, batch_size,
         def loss_fn(p):
             out = model.apply({"params": p}, images, train=False)
             return solo_loss(out, inst_masks, inst_classes, inst_valid,
-                             mask_loss_stride=mask_loss_stride)
+                             mask_loss_stride=mask_loss_stride,
+                             max_positive_cells=max_positive_cells)
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -132,6 +140,7 @@ class InstanceTrainer:
         seed=0,
         use_pallas="auto",
         mask_loss_stride=2,
+        max_positive_cells=16,
         noise_level=1.0,
         rfi_power_min=1000.0,
         rfi_power_max=10000.0,
@@ -164,8 +173,12 @@ class InstanceTrainer:
         )
         self._use_pallas = use_pallas
         self._mask_loss_stride = mask_loss_stride
-        self._step = make_instance_train_step(self.model, self.tx, use_pallas,
-                                              mask_loss_stride=mask_loss_stride)
+        self._max_positive_cells = max_positive_cells
+        self._step = make_instance_train_step(
+            self.model, self.tx, use_pallas,
+            mask_loss_stride=mask_loss_stride,
+            max_positive_cells=max_positive_cells,
+        )
         self._fused = None
         self.params = None
         self.opt_state = None
@@ -227,6 +240,7 @@ class InstanceTrainer:
             self._fused = make_instance_fused_steps(
                 self.model, self.tx, self._sample_fn, self.batch_size,
                 self._use_pallas, self._mask_loss_stride,
+                self._max_positive_cells,
             )
 
         def log(step_i, loss, parts):

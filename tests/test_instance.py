@@ -265,3 +265,29 @@ def test_instance_trainer_checkpoint_resume(tmp_path):
         r_resumed["history"][-1]["loss"], r_cont["history"][-1]["loss"],
         rtol=1e-5,
     )
+
+
+def test_instance_trainer_max_positive_cells_plumbs():
+    """max_positive_cells reaches solo_loss in both the sequential and
+    fused step paths: an uncapped trainer on a dense mix reports no
+    dropped cells, a tightly-capped one reports drops."""
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    dense = {
+        "narrowband_persistent": {"count": 4},
+        "broadband_persistent": {"count": 2},
+        "narrowband_bursty": {"count": 2},
+    }
+    kw = dict(model=_model(grid=8, features=8, embed=16), patch_size=64,
+              batch_size=2, seed=0, learning_rate=1e-3, rfi_config=dense)
+    t_cap = InstanceTrainer(max_positive_cells=2, **kw)
+    r_cap = t_cap.fit(num_steps=2, log_every=2)
+    assert r_cap["history"][-1].get("dropped_mask_cells", 0) > 0
+
+    t_full = InstanceTrainer(max_positive_cells=None, **kw)
+    r_full = t_full.fit(num_steps=2, log_every=2)
+    assert r_full["history"][-1].get("dropped_mask_cells", 0) == 0
+
+    # fused path honors the cap too
+    r_cap_fused = t_cap.fit(num_steps=2, log_every=2, fused_steps=2)
+    assert r_cap_fused["history"][-1].get("dropped_mask_cells", 0) > 0
