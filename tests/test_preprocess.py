@@ -236,7 +236,9 @@ def test_create_dataset_static_num_patches(rng):
     def rows(d):
         return np.unique(np.asarray(d.images).reshape(len(d), -1), axis=0)
 
-    np.testing.assert_array_equal(rows(ds), rows(host))
+    # atol: the fused static path (static_prep.py) lowers the whole
+    # chain as ONE program and rounds atan2 differently by ~5e-7
+    np.testing.assert_allclose(rows(ds), rows(host), atol=1e-6)
 
     # deficit: flagged patches repeat cyclically, every output flagged
     ds_up = Preprocessor(vis, flags=mask).create_dataset(
@@ -246,7 +248,7 @@ def test_create_dataset_static_num_patches(rng):
     assert len(ds_up) == n_flagged + 5
     assert all(ds_up.labels[i].any() for i in range(len(ds_up)))
     # only flagged patches appear, duplicated to fill the deficit
-    np.testing.assert_array_equal(rows(ds_up), rows(host))
+    np.testing.assert_allclose(rows(ds_up), rows(host), atol=1e-6)
 
     # surplus: truncation to the requested static count
     ds_dn = Preprocessor(vis, flags=mask).create_dataset(
