@@ -175,6 +175,8 @@ def _train_instance(args, given):
         seed=args.seed,
         mask_loss_stride=args.mask_loss_stride,
         max_positive_cells=args.max_positive_cells,
+        mesh_shape=(tuple(int(x) for x in str(args.mesh_shape).split(","))
+                    if args.mesh_shape else None),
     )
 
     ckpt_dir = Path(args.checkpoint_dir)

@@ -61,7 +61,7 @@ def make_instance_train_step(model, tx, use_pallas="auto",
 
 def make_instance_fused_steps(model, tx, sample_fn, batch_size,
                               use_pallas="auto", mask_loss_stride=2,
-                              max_positive_cells=16):
+                              max_positive_cells=16, mesh=None):
     """K training steps — on-device batch GENERATION included — fused
     into one ``lax.scan`` program: (params, opt_state, keys(K,)) ->
     (params, opt_state, losses(K,), last_parts).
@@ -72,9 +72,31 @@ def make_instance_fused_steps(model, tx, sample_fn, batch_size,
     the previous step's optimizer epilogue. Numerics are identical to
     the sequential path given the same key sequence (asserted in
     tests/test_instance.py).
+
+    With ``mesh`` (axis 'data'), the generated batch is
+    sharding-constrained over the batch dim inside the scan body, so
+    XLA partitions generation, forward and backward across the mesh
+    and all-reduces the grads — SPMD data parallelism with zero host
+    involvement (params/opt state replicated by the caller).
     """
     if use_pallas == "auto":
         use_pallas = jax.default_backend() != "cpu"
+
+    def _constrain(batch):
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape["data"]
+
+        def put(a):
+            if a.ndim and a.shape[0] % n == 0:
+                spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, spec))
+            return a
+
+        return jax.tree.map(put, batch)
 
     def _one_step(params, opt_state, patches, inst_masks, inst_classes,
                   inst_valid):
@@ -101,6 +123,7 @@ def make_instance_fused_steps(model, tx, sample_fn, batch_size,
         def body(carry, key):
             params, opt_state = carry
             batch = jax.vmap(sample_fn)(jax.random.split(key, batch_size))
+            batch = _constrain(batch)
             params, opt_state, loss, parts = _one_step(
                 params, opt_state, batch["waterfall"], batch["inst_masks"],
                 batch["inst_classes"], batch["inst_valid"],
@@ -121,6 +144,13 @@ class InstanceTrainer:
 
     >>> trainer = InstanceTrainer(patch_size=128, batch_size=64)
     >>> result = trainer.fit(num_steps=100)
+
+    ``mesh`` / ``mesh_shape`` (data-only, e.g. ``mesh_shape=(8,)``)
+    enable SPMD data parallelism: params/opt state are replicated, the
+    on-device-generated batch is sharded over the mesh 'data' axis
+    (inside the scan body on the fused path), and XLA all-reduces the
+    grads — same key stream and numerics as single-device
+    (tests/test_instance.py).
 
     ``learning_rate`` accepts a float or any optax schedule. For long
     batch-64 runs pass a warmup schedule — e.g.
@@ -144,10 +174,27 @@ class InstanceTrainer:
         noise_level=1.0,
         rfi_power_min=1000.0,
         rfi_power_max=10000.0,
+        mesh=None,
+        mesh_shape=None,
     ):
         self.model = model if model is not None else SOLOLite(
             num_classes=6, grid_size=max(patch_size // 16, 4)
         )
+        if mesh is not None and mesh_shape is not None:
+            raise ValueError("pass either mesh or mesh_shape, not both")
+        if mesh_shape is not None:
+            import math
+
+            shape = tuple(mesh_shape)
+            if len(shape) > 1 and math.prod(shape[1:]) != 1:
+                raise ValueError(
+                    "InstanceTrainer parallelism is data-only; "
+                    f"mesh_shape {shape} implies non-data axes"
+                )
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(shape=(shape[0],), axis_names=("data",))
+        self.mesh = mesh
         self.patch_size = patch_size
         self.batch_size = batch_size
         self.seed = seed
@@ -193,6 +240,12 @@ class InstanceTrainer:
         x = jnp.zeros((1, self.patch_size, self.patch_size, 3), jnp.float32)
         self.params = self.model.init(key, x, train=False)["params"]
         self.opt_state = self.tx.init(self.params)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
 
     def generate_batch(self, key):
         """One synthetic instance batch (device-resident)."""
@@ -240,7 +293,7 @@ class InstanceTrainer:
             self._fused = make_instance_fused_steps(
                 self.model, self.tx, self._sample_fn, self.batch_size,
                 self._use_pallas, self._mask_loss_stride,
-                self._max_positive_cells,
+                self._max_positive_cells, mesh=self.mesh,
             )
 
         def log(step_i, loss, parts):
@@ -278,6 +331,10 @@ class InstanceTrainer:
             else:
                 k1 = jax.random.fold_in(base, self.step)
                 batch = self.generate_batch(k1)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    batch = shard_batch(batch, self.mesh)
                 patches = batch["waterfall"]
                 masks = batch["inst_masks"]
                 classes = batch["inst_classes"]

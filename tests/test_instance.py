@@ -291,3 +291,38 @@ def test_instance_trainer_max_positive_cells_plumbs():
     # fused path honors the cap too
     r_cap_fused = t_cap.fit(num_steps=2, log_every=2, fused_steps=2)
     assert r_cap_fused["history"][-1].get("dropped_mask_cells", 0) > 0
+
+
+def test_instance_trainer_data_parallel_mesh_matches_single():
+    """InstanceTrainer(mesh_shape=(8,)): params/opt replicated, batches
+    sharded over 'data', same key stream -> same losses/params as the
+    unmeshed trainer (both sequential and fused paths)."""
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    kw = dict(model=_model(grid=8, features=8, embed=16), patch_size=64,
+              batch_size=8, seed=0, learning_rate=1e-3)
+    t_single = InstanceTrainer(**kw)
+    r_single = t_single.fit(num_steps=4, log_every=4)
+
+    t_mesh = InstanceTrainer(mesh_shape=(jax.device_count(),), **kw)
+    r_mesh = t_mesh.fit(num_steps=4, log_every=4)
+    np.testing.assert_allclose(
+        r_mesh["history"][-1]["loss"], r_single["history"][-1]["loss"],
+        rtol=1e-4,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+        ),
+        jax.device_get(t_single.params), jax.device_get(t_mesh.params),
+    )
+
+    t_mesh_fused = InstanceTrainer(mesh_shape=(jax.device_count(),), **kw)
+    r_fused = t_mesh_fused.fit(num_steps=4, log_every=4, fused_steps=2)
+    np.testing.assert_allclose(
+        r_fused["history"][-1]["loss"], r_single["history"][-1]["loss"],
+        rtol=2e-3,
+    )
+
+    with pytest.raises(ValueError, match="data-only"):
+        InstanceTrainer(mesh_shape=(4, 2), **kw)
