@@ -1,0 +1,162 @@
+"""Round-4 density-envelope push: grid-16 SOLOLite on a density mix.
+
+runs/transfer_eval.json measured the shipped grid-8 snapshot collapsing
+on event mixes ~2x denser than training (all-six dense recall 0.531 vs
+0.82 at trained density) — the SOLO failure mode is one detection per
+grid cell, so crowding exhausts cell capacity. The knob named there is
+``grid_size``. This run trains the same f=48 recipe at grid_size=16
+(256 cells) on a density-curriculum mix whose count ranges span from
+the all-six eval mix up past the dense transfer-eval mix, with
+``max_positive_cells`` raised 16 -> 48 for the crowded images.
+
+Recipe (shipped f=48 snapshot's, BASELINE.md round 3): 36k batch-64
+stride-2 steps (warmup-cosine 1e-5 -> 8e-4 peak, 500 warmup) + 8k
+batch-32 full-res fine-tune (cosine 1e-4). Held-out evals at seed
+10_000 (64 images, IoU >= 0.5, correct class):
+  - all-six @ trained density (the shipped gate's config)
+  - all-six @ the DENSE transfer-eval mix (ALL6_WEAK_DENSE counts)
+  - default 4-family mix
+
+Run (background, serialized with other TPU jobs):
+    python runs/train_solo_dense.py 2>&1 | tee runs/solo_dense.log
+Writes runs/solo_dense_eval.json + runs/solo_dense_all6.npz.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import optax
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from rfi_toolbox_tpu.models.instance import SOLOLite
+from rfi_toolbox_tpu.train import InstanceTrainer
+from rfi_toolbox_tpu.evaluation import evaluate_instance_model
+from rfi_toolbox_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+OUT = Path(__file__).parent
+CKPT1 = OUT / "solo_dense_phase1_ckpt"
+CKPT2 = OUT / "solo_dense_phase2_ckpt"
+SNAP = OUT / "solo_dense_all6.npz"
+
+F = 48
+GRID = 16
+MAX_POS = 48
+STEPS1 = 36_000
+STEPS2 = 8_000
+FUSED = 10
+CHUNK = 2_000
+
+# density curriculum: lower bounds at the eval mix's, upper bounds past
+# the dense transfer-eval mix (ALL6_WEAK_DENSE: [2,5],[1,3],[1,3],[1,3],
+# [1,2],[0,2]) so both densities are in-distribution
+TRAIN_MIX = {
+    "narrowband_persistent": {"count": [1, 6]},
+    "broadband_persistent": {"count": [0, 3]},
+    "narrowband_intermittent": {"count": [0, 3]},
+    "narrowband_bursty": {"count": [0, 3]},
+    "broadband_bursty": {"count": [0, 2]},
+    "frequency_sweep": {"count": [0, 2]},
+}
+# the shipped all-six gate's eval mix (tests/test_instance_quality.py)
+ALL6_EVAL = {
+    "narrowband_persistent": {"count": [1, 3]},
+    "broadband_persistent": {"count": [0, 2]},
+    "narrowband_intermittent": {"count": [0, 2]},
+    "narrowband_bursty": {"count": [0, 2]},
+    "broadband_bursty": {"count": [0, 1]},
+    "frequency_sweep": {"count": [0, 1]},
+}
+# the dense mix the grid-8 snapshot fails on (runs/transfer_eval.py)
+ALL6_DENSE = {
+    "narrowband_persistent": {"count": [2, 5]},
+    "broadband_persistent": {"count": [1, 3]},
+    "narrowband_intermittent": {"count": [1, 3]},
+    "narrowband_bursty": {"count": [1, 3]},
+    "broadband_bursty": {"count": [1, 2]},
+    "frequency_sweep": {"count": [0, 2]},
+}
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def run_phase(trainer, total, ckpt, fused, label):
+    start = 0
+    if ckpt.exists():
+        start = trainer.restore_checkpoint(ckpt)
+        log(f"{label}: resumed at step {start}")
+    while start < total:
+        n = min(CHUNK, total - start)
+        res = trainer.fit(num_steps=n, log_every=n, fused_steps=fused)
+        rec = res["history"][-1]
+        start += n
+        trainer.save_checkpoint(ckpt, step=start)
+        dropped = rec.get("dropped_mask_cells", 0)
+        log(f"{label} {start}/{total}: loss={rec['loss']:.4f} "
+            f"cate={rec['cate_loss']:.4f} mask={rec['mask_loss']:.4f} "
+            f"dropped={dropped} {rec['steps_per_sec']:.1f} steps/s")
+    return trainer
+
+
+def main():
+    model = SOLOLite(num_classes=6, grid_size=GRID, features=F, embed_dim=F)
+
+    sched1 = optax.warmup_cosine_decay_schedule(
+        1e-5, 8e-4, 500, STEPS1, end_value=1e-5)
+    t1 = InstanceTrainer(model=model, patch_size=128, batch_size=64,
+                         rfi_config=TRAIN_MIX, learning_rate=sched1,
+                         seed=3, mask_loss_stride=2,
+                         max_positive_cells=MAX_POS)
+    run_phase(t1, STEPS1, CKPT1, FUSED, "phase1")
+
+    sched2 = optax.cosine_decay_schedule(1e-4, STEPS2, alpha=1e-2)
+    t2 = InstanceTrainer(model=model, patch_size=128, batch_size=32,
+                         rfi_config=TRAIN_MIX, learning_rate=sched2,
+                         seed=7, mask_loss_stride=1,
+                         max_positive_cells=MAX_POS)
+    t2._init()
+    t2.params = t1.params
+    del t1
+    run_phase(t2, STEPS2, CKPT2, FUSED, "phase2")
+
+    t2.save(SNAP)
+    log(f"snapshot -> {SNAP}")
+
+    results = {}
+    for name, mix in (("all6_trained_density", ALL6_EVAL),
+                      ("all6_dense", ALL6_DENSE),
+                      ("default", None)):
+        for st in (0.25, 0.30):
+            kw = {"rfi_config": mix} if mix else {}
+            ev = InstanceTrainer.load(SNAP, batch_size=16, seed=0, **kw)
+            q = evaluate_instance_model(ev, num_images=64, seed=10_000,
+                                        iou_thresh=0.5, score_thresh=st)
+            q.pop("best_iou", None)
+            results[f"{name}_st{st}"] = q
+            log(f"{name} st={st}: recall={q['recall']:.3f} "
+                f"precision={q['precision']:.3f} "
+                f"floor={min(q['per_class_recall'].values()):.3f}")
+
+    def clean(o):
+        if isinstance(o, dict):
+            return {k: clean(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [clean(v) for v in o]
+        try:
+            return float(o)
+        except (TypeError, ValueError):
+            return o
+
+    (OUT / "solo_dense_eval.json").write_text(
+        json.dumps(clean(results), indent=1))
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
