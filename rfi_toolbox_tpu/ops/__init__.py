@@ -11,11 +11,15 @@ from .conv3x3 import (
     conv3x3_bias_relu_or_xla,
     conv3x3_fits_vmem,
 )
-from .fused_channels import fused_extract_channels
+from .fused_channels import (
+    fused_extract_channel_planes,
+    fused_extract_channels,
+)
 from .mad_flags import mad_flag_patches_pallas
 
 __all__ = [
     "fused_extract_channels",
+    "fused_extract_channel_planes",
     "mad_flag_patches_pallas",
     "conv3x3",
     "conv3x3_bias_relu",

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..preprocess.pipeline import IMAGENET_MEAN, IMAGENET_STD, LOG_MAX, LOG_MIN
 
-__all__ = ["fused_extract_channels"]
+__all__ = ["fused_extract_channels", "fused_extract_channel_planes"]
 
 # atan(t)/t as a polynomial in s = t^2 on t in [0, 1] (Chebyshev fit,
 # max abs error 2.1e-9) — Mosaic has no atan/atan2 lowering, so the
@@ -99,6 +99,106 @@ def _kernel(re_ref, im_ref, grad_ref, amp_ref, phase_ref):
     grad_ref[:] = (grad_norm - IMAGENET_MEAN[0]) / IMAGENET_STD[0]
     amp_ref[:] = (log_norm - IMAGENET_MEAN[1]) / IMAGENET_STD[1]
     phase_ref[:] = (phase_norm - IMAGENET_MEAN[2]) / IMAGENET_STD[2]
+
+
+def _minmax_norm(x):
+    """Per-patch min/max normalization, axis-by-axis (Mosaic rejects
+    multi-axis keepdims reductions)."""
+    lo = jnp.min(jnp.min(x, axis=2, keepdims=True), axis=1, keepdims=True)
+    hi = jnp.max(jnp.max(x, axis=2, keepdims=True), axis=1, keepdims=True)
+    span = hi - lo
+    return jnp.where(span > 0, (x - lo) / jnp.where(span > 0, span, 1.0), 0.0)
+
+
+def _planes_kernel(re_ref, im_ref, g0_ref, g1_ref, g2_ref, amp_ref,
+                   phase_ref):
+    """Variant-aware extraction on BASE patches: three gradient planes
+    (fwd/fwd, down/fwd, fwd/down edge zeroing — one per rotation
+    variant, see pipeline.extract_channel_planes) + log-amp + phase,
+    all in one VMEM-resident pass."""
+    re = re_ref[:]
+    im = im_ref[:]
+
+    amplitude = jnp.sqrt(re * re + im * im)
+    log_amp = jnp.log10(amplitude + 1e-10)
+
+    h = log_amp.shape[1]
+    # fwd: zero first row/col (duplicate-edge trick); down: zero last
+    # row/col. Signs differ from np.diff but every use squares them.
+    shifted_r = jnp.concatenate([log_amp[:, :1], log_amp[:, : h - 1]], axis=1)
+    td_fwd = log_amp - shifted_r
+    shifted_rd = jnp.concatenate([log_amp[:, 1:], log_amp[:, h - 1:]], axis=1)
+    td_down = log_amp - shifted_rd
+    shifted_c = jnp.concatenate(
+        [log_amp[:, :, :1], log_amp[:, :, :-1]], axis=2
+    )
+    fd_fwd = log_amp - shifted_c
+    shifted_cd = jnp.concatenate(
+        [log_amp[:, :, 1:], log_amp[:, :, -1:]], axis=2
+    )
+    fd_down = log_amp - shifted_cd
+
+    mean0 = jnp.float32(IMAGENET_MEAN[0])
+    std0 = jnp.float32(IMAGENET_STD[0])
+    g0_ref[:] = (_minmax_norm(jnp.sqrt(td_fwd * td_fwd + fd_fwd * fd_fwd))
+                 - mean0) / std0
+    g1_ref[:] = (_minmax_norm(jnp.sqrt(td_down * td_down + fd_fwd * fd_fwd))
+                 - mean0) / std0
+    g2_ref[:] = (_minmax_norm(jnp.sqrt(td_fwd * td_fwd + fd_down * fd_down))
+                 - mean0) / std0
+
+    log_norm = jnp.clip((log_amp - LOG_MIN) / (LOG_MAX - LOG_MIN), 0.0, 1.0)
+    amp_ref[:] = (log_norm - IMAGENET_MEAN[1]) / IMAGENET_STD[1]
+    phase = _atan2(im, re)
+    phase_ref[:] = ((phase + jnp.pi) / (2.0 * jnp.pi)
+                    - IMAGENET_MEAN[2]) / IMAGENET_STD[2]
+
+
+@partial(jax.jit, static_argnames=("interpret", "block"))
+def fused_extract_channel_planes(patches, interpret=False, block=8):
+    """(N, H, W) complex64 base patches -> the five ImageNet-normalized
+    channel planes of :func:`..preprocess.pipeline.extract_channel_planes`:
+    ``(grad3 (3, N, H, W), log_amp (N, H, W), phase (N, H, W))``.
+
+    Used by the virtual-augmentation static path to extract once per
+    BASE patch instead of once per gathered (augmentation-duplicated)
+    patch; jnp reference parity is tested in tests/test_ops.py.
+    """
+    if jnp.iscomplexobj(patches):
+        re = jnp.real(patches).astype(jnp.float32)
+        im = jnp.imag(patches).astype(jnp.float32)
+    else:
+        re = patches.astype(jnp.float32)
+        im = jnp.zeros_like(re)
+
+    n, h, w = re.shape
+    # ~14 f32 intermediates live per 128^2 patch; block 32 was measured
+    # to blow the 16 MB scoped-VMEM stack (26.09M) on v5e
+    block = min(block, 16)
+    block = min(block, n) or 1
+    pad = (-n) % block
+    if pad:
+        re = jnp.concatenate([re, jnp.ones((pad, h, w), re.dtype)], axis=0)
+        im = jnp.concatenate([im, jnp.zeros((pad, h, w), im.dtype)], axis=0)
+    m = re.shape[0]
+
+    spec = pl.BlockSpec(
+        (block, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((m, h, w), jnp.float32)
+
+    g0, g1, g2, amp, phase = pl.pallas_call(
+        _planes_kernel,
+        grid=(m // block,),
+        in_specs=[spec, spec],
+        out_specs=(spec,) * 5,
+        out_shape=(out_shape,) * 5,
+        interpret=interpret,
+    )(re, im)
+    grad3 = jnp.stack([g0, g1, g2])
+    if pad:
+        return grad3[:, :n], amp[:n], phase[:n]
+    return grad3, amp, phase
 
 
 @partial(jax.jit, static_argnames=("interpret", "block"))

@@ -39,6 +39,7 @@ __all__ = [
     "unpatchify_batch",
     "apply_rotations",
     "extract_channels",
+    "extract_channel_planes",
     "imagenet_normalize",
     "mad_flag_patches",
     "static_select_flagged",
@@ -191,6 +192,72 @@ def extract_channels(patches):
         phase_norm = jnp.zeros_like(log_amp)
 
     return jnp.stack([gradient_norm, log_amp_norm, phase_norm], axis=-1)
+
+
+@jax.jit
+def extract_channel_planes(patches):
+    """Variant-aware channel planes on BASE patches: everything
+    :func:`extract_channels` needs for all four rotation variants,
+    computed ONCE per base patch and already ImageNet-normalized.
+
+    The virtual-augmentation static path (static_prep) selects K
+    patches across the {id, flipud, T, flipud.T} variants of M base
+    patches; with 4-way augmentation K is typically ~4x M, so running
+    the transcendental extraction chain AFTER the gather does ~4x the
+    work. Everything in :func:`extract_channels` commutes with the
+    flip/transpose EXCEPT the gradient's np.diff edge zeroing — the
+    forward difference of a flipped patch is the opposite-edge-zeroed
+    difference of the base patch, flipped. Since the gradient squares
+    the differences (sign-free) and min/max reductions are order-exact,
+    three gradient planes cover all four variants BIT-exactly:
+
+      g[0] = sqrt(td_fwd^2 + fd_fwd^2)   variants id and T
+      g[1] = sqrt(td_down^2 + fd_fwd^2)  variant flipud
+      g[2] = sqrt(td_fwd^2 + fd_down^2)  variant flipud.T
+
+    where td/fd are the time/freq forward differences zero-padded at
+    the leading (fwd) or trailing (down) edge. The caller gathers the
+    right plane per selected patch and applies the flip/transpose to
+    the OUTPUT (preprocess/static_prep.py), giving images identical to
+    transform-then-extract.
+
+    Returns:
+        (grad3, log_amp, phase): (3, N, H, W), (N, H, W), (N, H, W)
+        float32, each already through its channel's ImageNet affine.
+        Real input gets the min-max log_amp + zeros phase of
+        :func:`extract_channels`'s real fallback.
+    """
+    is_complex = jnp.iscomplexobj(patches)
+    amplitude = jnp.abs(patches).astype(jnp.float32)
+    log_amp = jnp.log10(amplitude + 1e-10)
+
+    d_t = jnp.diff(log_amp, axis=-2)
+    d_f = jnp.diff(log_amp, axis=-1)
+    td_fwd = jnp.pad(d_t, ((0, 0), (1, 0), (0, 0)))
+    td_down = jnp.pad(d_t, ((0, 0), (0, 1), (0, 0)))
+    fd_fwd = jnp.pad(d_f, ((0, 0), (0, 0), (1, 0)))
+    fd_down = jnp.pad(d_f, ((0, 0), (0, 0), (0, 1)))
+    grad3 = jnp.stack(
+        [
+            jnp.sqrt(td_fwd**2 + fd_fwd**2),
+            jnp.sqrt(td_down**2 + fd_fwd**2),
+            jnp.sqrt(td_fwd**2 + fd_down**2),
+        ]
+    )
+    grad3 = _nanminmax_normalize(grad3)
+
+    if is_complex:
+        log_norm = jnp.clip((log_amp - LOG_MIN) / (LOG_MAX - LOG_MIN), 0.0, 1.0)
+        phase = jnp.angle(patches).astype(jnp.float32)
+        phase_norm = (phase + jnp.pi) / (2.0 * jnp.pi)
+    else:
+        log_norm = _nanminmax_normalize(log_amp)
+        phase_norm = jnp.zeros_like(log_amp)
+
+    grad3 = (grad3 - IMAGENET_MEAN[0]) / IMAGENET_STD[0]
+    log_norm = (log_norm - IMAGENET_MEAN[1]) / IMAGENET_STD[1]
+    phase_norm = (phase_norm - IMAGENET_MEAN[2]) / IMAGENET_STD[2]
+    return grad3, log_norm, phase_norm
 
 
 @jax.jit

@@ -124,10 +124,29 @@ class Preprocessor:
             raise ValueError(f"Data must be 3D or 4D, got shape {data.shape}")
         self.data = data
         self.flags = flags
-        self.patches = None
+        self._patches = None
+        self._patches_thunk = None
         self.patch_flags = None
         self.dataset = None
         self.original_shapes = None
+
+    @property
+    def patches(self):
+        """Selected raw (complex) patches, (N, p, p), device-resident.
+
+        The fused static path skips gathering these inside the training
+        program (only images/labels feed training — the raw-patch gather
+        is the largest intermediate); first access materializes them
+        with a separate device call."""
+        if self._patches is None and self._patches_thunk is not None:
+            self._patches = self._patches_thunk()
+            self._patches_thunk = None
+        return self._patches
+
+    @patches.setter
+    def patches(self, value):
+        self._patches = value
+        self._patches_thunk = None
 
     def create_dataset(
         self,
@@ -219,10 +238,8 @@ class Preprocessor:
             from .static_prep import make_static_prep_fn
 
             have_custom = use_custom_flags and self.flags is not None
-            fn = make_static_prep_fn(
-                patch_size,
-                int(static_num_patches),
-                rotations,
+            prep_kwargs = dict(
+                rotations=rotations,
                 flags_mode="custom" if have_custom else "mad",
                 flag_sigma=float(flag_sigma),
                 use_pallas=bool(use_pallas),
@@ -230,13 +247,22 @@ class Preprocessor:
                 normalize_before_stretch=normalize_before_stretch,
                 normalize_after_stretch=normalize_after_stretch,
             )
+            fn = make_static_prep_fn(
+                patch_size, int(static_num_patches),
+                return_patches=False, **prep_kwargs,
+            )
             flag_flat = (
                 _flatten_waterfalls(self.flags) if have_custom else flat
             )
-            images, labels, self.patches, self.patch_flags = fn(
-                flat, flag_flat,
-                jax.random.key(seed if seed is not None else 0),
-            )
+            prep_key = jax.random.key(seed if seed is not None else 0)
+            images, labels, _, self.patch_flags = fn(flat, flag_flat,
+                                                     prep_key)
+            # raw patches on demand (see the `patches` property)
+            self._patches = None
+            self._patches_thunk = lambda: make_static_prep_fn(
+                patch_size, int(static_num_patches),
+                return_patches=True, **prep_kwargs,
+            )(flat, flag_flat, prep_key)[2]
             metadata = {
                 "patch_size": patch_size,
                 "stretch": stretch,

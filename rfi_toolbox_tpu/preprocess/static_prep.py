@@ -87,6 +87,19 @@ def _transform_by_variant(x, v):
     return jnp.where(is_f, jnp.flip(x, axis=-2), x)
 
 
+def _transform_by_variant_nhwc(x, v):
+    """Variant flip/transpose over the H/W axes of (K, p, p, C) images."""
+    is_t = (v >= 2)[:, None, None, None]
+    is_f = ((v == 1) | (v == 3))[:, None, None, None]
+    x = jnp.where(is_t, jnp.swapaxes(x, 1, 2), x)
+    return jnp.where(is_f, jnp.flip(x, axis=1), x)
+
+
+# gradient plane per variant [orig, flipud, T, flipud.T] — see
+# pipeline.extract_channel_planes (variants orig and T share g[0])
+_VARIANT_GRAD_PLANE = np.array([0, 1, 0, 2], dtype=np.int32)
+
+
 @lru_cache(maxsize=None)
 def make_static_prep_fn(
     patch_size,
@@ -98,6 +111,8 @@ def make_static_prep_fn(
     stretch=None,
     normalize_before_stretch=True,
     normalize_after_stretch=False,
+    extract="auto",
+    return_patches=True,
 ):
     """Build the fused one-program static preprocess.
 
@@ -112,12 +127,29 @@ def make_static_prep_fn(
         stretch / normalize_*: the real-input steps 3-5 (applied to
             base patches — per-patch ops are flip/T invariant; skipped
             wholesale for complex input, matching preprocessor.py:284-313).
+        extract: where channel extraction runs. 'gathered' = after the
+            gather, on the K selected patches (the original path);
+            'base' = on the M base patches via
+            :func:`pipeline.extract_channel_planes`, gathering/
+            transforming the finished channel planes instead (bit-equal
+            output, ~K/M less transcendental work when augmentation
+            duplicates patches); 'auto' picks 'base' whenever K exceeds
+            the base-patch count (the plane variant costs ~1.6x a
+            single extraction, so K > M is already a win; at the
+            headline shapes K ~ 3.75 M).
+        return_patches: also gather + transform the complex/raw patches
+            (third return value). The training pipeline consumes only
+            images/labels; skipping the patch gather saves the largest
+            intermediate in the program. When False the third return is
+            None.
 
     Returns:
         jitted ``fn(flat, flag_flat, key) -> (images, labels, patches,
         flag_patches)`` over (M, H, W) waterfalls; ``flag_flat`` is
         ignored (pass the data again) when flags_mode='mad'.
     """
+    if extract not in ("auto", "base", "gathered"):
+        raise ValueError(f"unknown extract mode {extract!r}")
 
     @jax.jit
     def fn(flat, flag_flat, key):
@@ -163,16 +195,43 @@ def make_static_prep_fn(
         wf_i = keep // (r * kpp)
         base_idx = wf_i * kpp + jnp.take(remap, v * kpp + (keep % kpp))
 
-        patches = _transform_by_variant(jnp.take(base, base_idx, axis=0), v)
         flag_patches = _transform_by_variant(
             jnp.take(base_f, base_idx, axis=0), v)
+        patches = (
+            _transform_by_variant(jnp.take(base, base_idx, axis=0), v)
+            if return_patches else None
+        )
 
-        if use_pallas:
-            from ..ops import fused_extract_channels
+        n_base = base.shape[0]
+        extract_base = (extract == "base") or (
+            extract == "auto" and r > 1 and k > n_base
+        )
+        if extract_base:
+            if use_pallas:
+                from ..ops import fused_extract_channel_planes
 
-            images = fused_extract_channels(patches)
+                grad3, logp, phase = fused_extract_channel_planes(base)
+            else:
+                grad3, logp, phase = P.extract_channel_planes(base)
+            pidx = jnp.take(jnp.asarray(_VARIANT_GRAD_PLANE[:r]), v)
+            g = jnp.take(
+                grad3.reshape(3 * n_base, patch_size, patch_size),
+                pidx * n_base + base_idx, axis=0,
+            )
+            img = jnp.stack(
+                [g, jnp.take(logp, base_idx, axis=0),
+                 jnp.take(phase, base_idx, axis=0)], axis=-1,
+            )
+            images = _transform_by_variant_nhwc(img, v)
         else:
-            images = P.imagenet_normalize(P.extract_channels(patches))
+            src = patches if patches is not None else _transform_by_variant(
+                jnp.take(base, base_idx, axis=0), v)
+            if use_pallas:
+                from ..ops import fused_extract_channels
+
+                images = fused_extract_channels(src)
+            else:
+                images = P.imagenet_normalize(P.extract_channels(src))
         return images, flag_patches.astype(jnp.uint8), patches, flag_patches
 
     return fn

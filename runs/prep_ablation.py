@@ -1,0 +1,168 @@
+"""Stage-level ablation of the fused static prep at headline shapes
+(B=8 waterfalls 1024^2 complex, K=1920 patches of 128^2), to find where
+the ~45 ms/iter of prep device time actually goes after the
+extract-before-gather change landed measured-neutral (runs/
+prep_cost.json: 44.3 -> 45.2 ms).
+
+Times, each jitted standalone with a host-readback fence:
+  gen        on-device generation of the 8 waterfalls
+  planes512  fused_extract_channel_planes on the 512 base patches
+  kernel1920 fused_extract_channels on 1920 gathered patches (old path)
+  gather_tf  plane gather + NHWC stack + variant transform (new path's
+             post-kernel stage)
+  full_base  the whole static fn, extract='base', return_patches=False
+  full_gath  the whole static fn, extract='gathered', return_patches=True
+  blockN     fused_extract_channels block ladder on 1920 patches
+  planes_blockN  fused_extract_channel_planes block ladder on 512
+
+Staged warmups with a fence after each compile (back-to-back cold
+dispatches OOM the remote backend — CLAUDE.md).
+    python runs/prep_ablation.py 2>&1 | tee runs/prep_ablation.log
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from rfi_toolbox_tpu.ops import (
+    fused_extract_channel_planes,
+    fused_extract_channels,
+)
+from rfi_toolbox_tpu.preprocess import pipeline as P
+from rfi_toolbox_tpu.preprocess.static_prep import (
+    _VARIANT_GRAD_PLANE,
+    _transform_by_variant_nhwc,
+    make_static_prep_fn,
+    variant_remap,
+)
+from rfi_toolbox_tpu.synth import make_sample_generator
+from rfi_toolbox_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+B, C, T, PATCH, K = 8, 1024, 1024, 128, 1920
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _sync(x):
+    return np.asarray(jax.tree.leaves(x)[0].reshape(-1)[0])
+
+
+def timed(fn, *args, iters=8, reps=3):
+    out = fn(*args)
+    _sync(out)  # compile + fence
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        vals.append((time.perf_counter() - t0) / iters)
+    return float(np.median(vals)) * 1e3
+
+
+def main():
+    results = {}
+    sample_fn = make_sample_generator(
+        C, T, noise_level=1.0, rfi_power_min=1000.0, rfi_power_max=10000.0,
+        rfi_config={
+            "narrowband_persistent": {"count": 20},
+            "broadband_persistent": {"count": 5},
+            "narrowband_bursty": {"count": 20},
+            "broadband_bursty": {"count": 5},
+            "frequency_sweep": {"count": 1},
+        },
+        num_polarizations=1,
+    )
+    gen = jax.jit(lambda k: jax.vmap(sample_fn)(jax.random.split(k, B)))
+    wf, mask, _ = gen(jax.random.key(0))
+    _sync(wf.real)
+    results["gen_ms"] = round(timed(lambda k: gen(k)[0].real,
+                                    jax.random.key(1)), 2)
+    log(f"gen: {results['gen_ms']} ms")
+
+    flat = wf.reshape(B, C, T)
+    flag_flat = mask.reshape(B, C, T)
+
+    base = jax.jit(lambda x: P.patchify_batch(x, PATCH))(flat)
+    _sync(base.real)
+
+    # stage: planes kernel on 512 base patches (block ladder; 32 blows
+    # the 16 MB scoped-VMEM stack and is clamped to 16 in the kernel)
+    for blk in (4, 8, 16):
+        f = jax.jit(lambda x, b=blk: fused_extract_channel_planes(x, block=b))
+        results[f"planes512_block{blk}_ms"] = round(timed(f, base), 2)
+        log(f"planes512 block={blk}: {results[f'planes512_block{blk}_ms']} ms")
+
+    # stage: old kernel on 1920 gathered patches (block ladder)
+    idx = jnp.arange(K) % base.shape[0]
+    gathered = jax.jit(lambda b, i: jnp.take(b, i, axis=0))(base, idx)
+    _sync(gathered.real)
+    for blk in (4, 8, 16, 32, 64):
+        f = jax.jit(lambda x, b=blk: fused_extract_channels(x, block=b))
+        results[f"kernel1920_block{blk}_ms"] = round(timed(f, gathered), 2)
+        log(f"kernel1920 block={blk}: {results[f'kernel1920_block{blk}_ms']} ms")
+
+    # XLA jnp extraction on 1920 for reference
+    g = jax.jit(lambda x: P.imagenet_normalize(P.extract_channels(x)))
+    results["xla1920_ms"] = round(timed(g, gathered), 2)
+    log(f"xla1920: {results['xla1920_ms']} ms")
+
+    # stage: plane gather + stack + NHWC transform (new path epilogue)
+    nh = nw = C // PATCH
+    kpp = nh * nw
+    remap = jnp.asarray(variant_remap(nh, nw, 4))
+
+    @jax.jit
+    def gather_tf(planes, keep):
+        grad3, logp, phase = planes
+        n_base = logp.shape[0]
+        v = (keep // kpp) % 4
+        wf_i = keep // (4 * kpp)
+        base_idx = wf_i * kpp + jnp.take(remap, v * kpp + (keep % kpp))
+        pidx = jnp.take(jnp.asarray(_VARIANT_GRAD_PLANE), v)
+        gsel = jnp.take(grad3.reshape(3 * n_base, PATCH, PATCH),
+                        pidx * n_base + base_idx, axis=0)
+        img = jnp.stack([gsel, jnp.take(logp, base_idx, axis=0),
+                         jnp.take(phase, base_idx, axis=0)], axis=-1)
+        return _transform_by_variant_nhwc(img, v)
+
+    planes = jax.jit(fused_extract_channel_planes)(base)
+    _sync(planes[1])
+    keep = jnp.arange(K) * (B * 4 * kpp // K)
+    results["gather_tf_ms"] = round(timed(gather_tf, planes, keep), 2)
+    log(f"gather+stack+transform: {results['gather_tf_ms']} ms")
+
+    # full static programs
+    key = jax.random.key(5)
+    for name, kw in (
+        ("full_base", dict(extract="base", return_patches=False)),
+        ("full_base_patches", dict(extract="base", return_patches=True)),
+        ("full_gathered", dict(extract="gathered", return_patches=True)),
+        ("full_gathered_nopatches",
+         dict(extract="gathered", return_patches=False)),
+    ):
+        fn = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
+                                 use_pallas=True, **kw)
+        results[f"{name}_ms"] = round(
+            timed(lambda: fn(flat, flag_flat, key)[0]), 2)
+        log(f"{name}: {results[f'{name}_ms']} ms")
+
+    print(json.dumps(results), flush=True)
+    (Path(__file__).parent / "prep_ablation.json").write_text(
+        json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,11 @@ the jnp reference pipeline."""
 import numpy as np
 import pytest
 
-from rfi_toolbox_tpu.ops import fused_extract_channels, mad_flag_patches_pallas
+from rfi_toolbox_tpu.ops import (
+    fused_extract_channel_planes,
+    fused_extract_channels,
+    mad_flag_patches_pallas,
+)
 from rfi_toolbox_tpu.preprocess import pipeline as P
 
 
@@ -31,6 +35,49 @@ def test_fused_channels_real_input(rng):
     # then ImageNet affine
     expected_phase = (0.5 - 0.406) / 0.225
     np.testing.assert_allclose(got[..., 2], expected_phase, atol=1e-5)
+
+
+def test_fused_channel_planes_parity(rng):
+    patches = _complex_patches(rng)
+    g_got, l_got, p_got = fused_extract_channel_planes(
+        patches, interpret=True)
+    g_want, l_want, p_want = P.extract_channel_planes(patches)
+    assert np.shape(g_got) == (3, 2, 64, 64)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l_got), np.asarray(l_want),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
+                               atol=2e-5)
+
+
+def test_channel_planes_match_transform_then_extract(rng):
+    """The load-bearing identity of the extract-before-gather path: the
+    gradient plane of each variant, flip/transposed AFTER extraction,
+    equals extracting on the flip/transposed patch (the materialized
+    order). Squared diffs erase the sign and min/max are order-exact,
+    so the raw values are bit-equal; the only tolerance is jit-fusion
+    rounding of the normalize/affine chain across the two separately
+    jitted programs (~1e-6, the same class as the static-prep atan2
+    note)."""
+    import jax.numpy as jnp
+
+    patches = jnp.asarray(_complex_patches(rng, n=3))
+    grad3, logp, phase = P.extract_channel_planes(patches)
+
+    variants = {
+        0: (lambda x: x, 0),                      # id
+        1: (lambda x: x[:, ::-1], 1),             # flipud
+        2: (lambda x: jnp.swapaxes(x, 1, 2), 0),  # T
+        3: (lambda x: jnp.swapaxes(x, 1, 2)[:, ::-1], 2),  # flipud.T
+    }
+    for v, (tf, plane) in variants.items():
+        want = np.asarray(
+            P.imagenet_normalize(P.extract_channels(tf(patches))))
+        got = np.stack(
+            [np.asarray(tf(grad3[plane])), np.asarray(tf(logp)),
+             np.asarray(tf(phase))], axis=-1)
+        np.testing.assert_allclose(got, want, atol=2e-6)
 
 
 def test_mad_flags_parity(rng):

@@ -69,12 +69,14 @@ def _rfi_waterfall(rng, m=2, h=96, w=96, complex_=True):
 
 
 @pytest.mark.parametrize("rotations", [1, 2, 4])
-def test_fused_matches_materialized_complex_custom(rotations):
+@pytest.mark.parametrize("extract", ["gathered", "base"])
+def test_fused_matches_materialized_complex_custom(rotations, extract):
     rng = np.random.default_rng(0)
     flat, mask = _rfi_waterfall(rng, m=2, h=96, w=96)
     k, p = 10, 32
     key = jax.random.key(7)
-    fn = make_static_prep_fn(p, k, rotations, flags_mode="custom")
+    fn = make_static_prep_fn(p, k, rotations, flags_mode="custom",
+                             extract=extract)
     images, labels, _, _ = fn(flat, mask, key)
     ref_img, ref_fp = _materialized_static(flat, mask, p, k, rotations, key)
     # images: atol for jit-fusion rounding of atan2 (one-program
@@ -83,18 +85,37 @@ def test_fused_matches_materialized_complex_custom(rotations):
     np.testing.assert_array_equal(np.asarray(labels).astype(bool), ref_fp)
 
 
-def test_fused_matches_materialized_nonsquare_grid():
+@pytest.mark.parametrize("extract", ["gathered", "base"])
+def test_fused_matches_materialized_nonsquare_grid(extract):
     # nh=2, nw=3 exercises the transposed-variant remap on a
     # non-square patch grid
     rng = np.random.default_rng(1)
     flat, mask = _rfi_waterfall(rng, m=1, h=64, w=96)
     k, p = 8, 32
     key = jax.random.key(3)
-    fn = make_static_prep_fn(p, k, 4, flags_mode="custom")
+    fn = make_static_prep_fn(p, k, 4, flags_mode="custom", extract=extract)
     images, labels, _, _ = fn(flat, mask, key)
     ref_img, ref_fp = _materialized_static(flat, mask, p, k, 4, key)
     # images: atol for jit-fusion rounding of atan2 (one-program
     # lowering rounds the phase channel differently at ~5e-7)
+    np.testing.assert_allclose(np.asarray(images), ref_img, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(labels).astype(bool), ref_fp)
+
+
+def test_fused_auto_extract_base_when_k_exceeds_base_count():
+    """'auto' must take the extract-before-gather path when K > base
+    patches (the headline regime: K ~ 3.75x base) and stay bit-faithful
+    to the materialized path; return_patches=False skips the complex
+    patch gather entirely."""
+    rng = np.random.default_rng(9)
+    flat, mask = _rfi_waterfall(rng, m=1, h=96, w=96)  # 9 base patches
+    k, p = 30, 32                                      # k > 9 -> 'base'
+    key = jax.random.key(13)
+    fn = make_static_prep_fn(p, k, 4, flags_mode="custom",
+                             return_patches=False)
+    images, labels, patches, _ = fn(flat, mask, key)
+    assert patches is None
+    ref_img, ref_fp = _materialized_static(flat, mask, p, k, 4, key)
     np.testing.assert_allclose(np.asarray(images), ref_img, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(labels).astype(bool), ref_fp)
 
