@@ -215,3 +215,60 @@ def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
         m_tta = evaluate_segmentation(p_tta > th, gt)
         assert m_tta["iou"] >= tta_floor, m_tta
         assert m_tta["iou"] > m["iou"]  # TTA must not hurt
+
+
+WEIGHTS_UNIVERSAL = (Path(__file__).parent.parent / "pretrained"
+                     / "unet16gn_universal.npz")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not WEIGHTS_UNIVERSAL.exists(),
+                    reason="weights not present")
+def test_pretrained_universal_both_physics_gate(rng):
+    """QUALITY GATE for the universal 3-channel snapshot: trained on a
+    50/50 blend of BOTH generator families (runs/train_universal.py)
+    after the transfer eval measured the synthetic-only flagship at IoU
+    0.398 on coherent physics. TPU 8x1024^2 held-out measurements:
+    simulator IoU 0.9101, synthetic 1.0000 (runs/train_universal.json).
+    This CPU gate evaluates small fresh samples of each physics through
+    the 3-channel patch convention."""
+    import jax
+
+    from rfi_toolbox_tpu.evaluation import evaluate_segmentation
+    from rfi_toolbox_tpu.models import UNet
+    from rfi_toolbox_tpu.preprocess import pipeline as P
+    from rfi_toolbox_tpu.synth.simulator import RFISimulator
+    from rfi_toolbox_tpu.train import load_params
+
+    params, batch_stats, meta = load_params(WEIGHTS_UNIVERSAL)
+    assert meta["in_channels"] == 3
+    model = UNet(init_features=meta["init_features"],
+                 norm=meta.get("norm", "group"))
+    th = float(meta.get("best_threshold", 0.5))
+
+    def flag_patches(vis):
+        images = P.imagenet_normalize(P.extract_channels(vis))
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             images, train=False)
+        return np.asarray(jax.nn.sigmoid(logits[..., 0]) > th)
+
+    # coherent physics: fresh 128^2 simulator planes, RR pol only
+    sim = RFISimulator(time_bins=128, freq_bins=128, seed=0)
+    tf, mask = jax.vmap(sim.generate_rfi_device)(
+        jax.random.split(jax.random.key(4321), 4))
+    m_sim = evaluate_segmentation(flag_patches(tf[:, 0]),
+                                  np.asarray(mask) > 0.5)
+
+    # synthetic-family physics: the flagship test's strip pattern
+    base = rng.normal(1.0, 0.1, (2, 128, 128))
+    truth = np.zeros((2, 128, 128), bool)
+    base[:, 40:46, :] += 5e5
+    truth[:, 40:46, :] = True
+    base[0, :, 90:96] += 5e5
+    truth[0, :, 90:96] = True
+    vis = (base * np.exp(1j * rng.uniform(0, 6.28, base.shape))).astype(
+        np.complex64)
+    m_syn = evaluate_segmentation(flag_patches(vis), truth)
+
+    assert m_syn["iou"] > 0.9, m_syn
+    assert m_sim["iou"] > 0.55, m_sim
