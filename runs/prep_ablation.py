@@ -60,8 +60,18 @@ def _sync(x):
 
 
 def timed(fn, *args, iters=8, reps=3):
-    out = fn(*args)
-    _sync(out)  # compile + fence
+    # the remote compile service intermittently fails fresh compiles
+    # with RESOURCE_EXHAUSTED / HTTP 500 for stretches (CLAUDE.md) —
+    # retry the compile+fence until it lands
+    for attempt in range(12):
+        try:
+            out = fn(*args)
+            _sync(out)  # compile + fence
+            break
+        except Exception as e:  # noqa: BLE001
+            log(f"compile attempt {attempt + 1} failed "
+                f"({str(e).splitlines()[0][:100]}); retrying in 120 s")
+            time.sleep(120)
     vals = []
     for _ in range(reps):
         t0 = time.perf_counter()
