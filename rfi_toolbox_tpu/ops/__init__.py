@@ -14,12 +14,14 @@ from .conv3x3 import (
 from .fused_channels import (
     fused_extract_channel_planes,
     fused_extract_channels,
+    fused_gather_extract,
 )
 from .mad_flags import mad_flag_patches_pallas
 
 __all__ = [
     "fused_extract_channels",
     "fused_extract_channel_planes",
+    "fused_gather_extract",
     "mad_flag_patches_pallas",
     "conv3x3",
     "conv3x3_bias_relu",

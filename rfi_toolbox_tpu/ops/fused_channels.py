@@ -28,7 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..preprocess.pipeline import IMAGENET_MEAN, IMAGENET_STD, LOG_MAX, LOG_MIN
 
-__all__ = ["fused_extract_channels", "fused_extract_channel_planes"]
+__all__ = [
+    "fused_extract_channels",
+    "fused_extract_channel_planes",
+    "fused_gather_extract",
+]
 
 # atan(t)/t as a polynomial in s = t^2 on t in [0, 1] (Chebyshev fit,
 # max abs error 2.1e-9) — Mosaic has no atan/atan2 lowering, so the
@@ -199,6 +203,119 @@ def fused_extract_channel_planes(patches, interpret=False, block=8):
     if pad:
         return grad3[:, :n], amp[:n], phase[:n]
     return grad3, amp, phase
+
+
+def _gather_kernel(idx_ref, pidx_ref, re_ref, im_ref, g_ref, amp_ref,
+                   phase_ref):
+    """Gather-fused extraction: the scalar-prefetched ``idx_ref`` drives
+    the input BlockSpec's index map (each grid step DMAs exactly the
+    selected base patch from HBM), so the selected patches are never
+    materialized as a separate gather pass. ``pidx_ref`` picks the
+    gradient edge-zeroing variant per output patch (see
+    pipeline.extract_channel_planes: 0 = fwd/fwd for variants id and T,
+    1 = down/fwd for flipud, 2 = fwd/down for flipud.T); the arithmetic
+    is operation-identical to ``_planes_kernel`` (outputs match a
+    plane gather to ~1e-6 — XLA contracts mul+add chains into FMAs
+    differently per program, the same rounding class the static-path
+    parity tests already carry)."""
+    re = re_ref[:]
+    im = im_ref[:]
+
+    amplitude = jnp.sqrt(re * re + im * im)
+    log_amp = jnp.log10(amplitude + 1e-10)
+
+    h = log_amp.shape[1]
+    shifted_r = jnp.concatenate([log_amp[:, :1], log_amp[:, : h - 1]], axis=1)
+    td_fwd = log_amp - shifted_r
+    shifted_rd = jnp.concatenate([log_amp[:, 1:], log_amp[:, h - 1:]], axis=1)
+    td_down = log_amp - shifted_rd
+    shifted_c = jnp.concatenate(
+        [log_amp[:, :, :1], log_amp[:, :, :-1]], axis=2
+    )
+    fd_fwd = log_amp - shifted_c
+    shifted_cd = jnp.concatenate(
+        [log_amp[:, :, 1:], log_amp[:, :, -1:]], axis=2
+    )
+    fd_down = log_amp - shifted_cd
+
+    v = pidx_ref[pl.program_id(0)]
+    td = jnp.where(v == 1, td_down, td_fwd)
+    fd = jnp.where(v == 2, fd_down, fd_fwd)
+    gradient = jnp.sqrt(td * td + fd * fd)
+
+    g_ref[:] = (_minmax_norm(gradient)
+                - jnp.float32(IMAGENET_MEAN[0])) / jnp.float32(IMAGENET_STD[0])
+    log_norm = jnp.clip((log_amp - LOG_MIN) / (LOG_MAX - LOG_MIN), 0.0, 1.0)
+    amp_ref[:] = (log_norm - IMAGENET_MEAN[1]) / IMAGENET_STD[1]
+    phase = _atan2(im, re)
+    phase_ref[:] = ((phase + jnp.pi) / (2.0 * jnp.pi)
+                    - IMAGENET_MEAN[2]) / IMAGENET_STD[2]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_gather_extract(patches, base_idx, pidx, interpret=False):
+    """Gather + variant-aware 3-channel extraction in ONE Pallas pass.
+
+    The virtual-augmentation static path (preprocess/static_prep.py)
+    selects K patches across the rotation variants of M base patches.
+    Extract-on-base (``fused_extract_channel_planes``) avoids the ~K/M
+    duplicate transcendental work but pays for it in HBM layout
+    traffic: it writes 5 full plane sets for every base patch and then
+    re-reads 3 planes per selected patch through an XLA gather. This
+    kernel instead prefetches ``base_idx`` as scalars and lets each
+    grid step DMA exactly the selected base patch, computing the
+    extraction chain directly into the K output slots — the planes are
+    never materialized and the gather disappears into the block index
+    map. Values match ``fused_extract_channel_planes`` followed by the
+    plane gather to ~1e-6 (same operations per element; FMA
+    contraction differs per program).
+
+    Args:
+        patches: (M, H, W) complex64 (or float32, zero imag) BASE
+            patches.
+        base_idx: (K,) int32 base-patch index per output patch.
+        pidx: (K,) int32 gradient-variant selector per output patch
+            (0 = fwd/fwd, 1 = down/fwd, 2 = fwd/down).
+        interpret: run the Pallas interpreter (CPU testing).
+
+    Returns:
+        (grad, log_amp, phase) each (K, H, W) float32, ImageNet-
+        normalized, in the untransformed base orientation (the caller
+        applies the flip/transpose epilogue).
+    """
+    if jnp.iscomplexobj(patches):
+        re = jnp.real(patches).astype(jnp.float32)
+        im = jnp.imag(patches).astype(jnp.float32)
+    else:
+        re = patches.astype(jnp.float32)
+        im = jnp.zeros_like(re)
+
+    _, h, w = re.shape
+    k = base_idx.shape[0]
+    base_idx = base_idx.astype(jnp.int32)
+    pidx = pidx.astype(jnp.int32)
+
+    in_spec = pl.BlockSpec(
+        (1, h, w), lambda i, idx, pv: (idx[i], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, h, w), lambda i, idx, pv: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((k, h, w), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k,),
+        in_specs=[in_spec, in_spec],
+        out_specs=(out_spec,) * 3,
+    )
+    return pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=(out_shape,) * 3,
+        interpret=interpret,
+    )(base_idx, pidx, re, im)
 
 
 @partial(jax.jit, static_argnames=("interpret", "block"))

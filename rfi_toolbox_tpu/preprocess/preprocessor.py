@@ -353,8 +353,11 @@ class Preprocessor:
         flag_patches = jnp.take(flag_patches, keep_dev, axis=0)
 
         # Channel extraction + ImageNet normalization (one device pass;
-        # the Pallas kernel fuses the whole chain per patch block).
-        if use_pallas:
+        # the Pallas kernel fuses the whole chain per patch block). The
+        # kernel implements the COMPLEX channel semantics only — real
+        # input takes the jnp path for the reference's real fallback
+        # (min-max log amp + zero phase, preprocessor.py:608-644).
+        if use_pallas and jnp.iscomplexobj(patches):
             from ..ops import fused_extract_channels
 
             images = fused_extract_channels(patches)

@@ -129,14 +129,16 @@ def make_static_prep_fn(
             wholesale for complex input, matching preprocessor.py:284-313).
         extract: where channel extraction runs. 'gathered' = after the
             gather, on the K selected patches (the original path);
-            'base' = on the M base patches via
-            :func:`pipeline.extract_channel_planes`, gathering/
-            transforming the finished channel planes instead (bit-equal
-            output, ~K/M less transcendental work when augmentation
-            duplicates patches); 'auto' picks 'base' whenever K exceeds
-            the base-patch count (the plane variant costs ~1.6x a
-            single extraction, so K > M is already a win; at the
-            headline shapes K ~ 3.75 M).
+            'base' = per BASE patch: with use_pallas the gather-fused
+            kernel (:func:`..ops.fused_gather_extract` — scalar-
+            prefetched indices drive the block DMA, so neither the
+            selected complex patches nor the channel planes are ever
+            materialized in HBM), otherwise
+            :func:`pipeline.extract_channel_planes` + a plane gather
+            (bit-equal output, ~K/M less transcendental work when
+            augmentation duplicates patches); 'auto' picks 'base'
+            whenever K exceeds the base-patch count (at the headline
+            shapes K ~ 3.75 M).
         return_patches: also gather + transform the complex/raw patches
             (third return value). The training pipeline consumes only
             images/labels; skipping the patch gather saves the largest
@@ -206,27 +208,35 @@ def make_static_prep_fn(
         extract_base = (extract == "base") or (
             extract == "auto" and r > 1 and k > n_base
         )
+        # The Pallas extraction kernels implement the COMPLEX channel
+        # semantics only (fixed log window + phase); real input must
+        # take the jnp path for the reference's real fallback (min-max
+        # log amp + zero phase, preprocessor.py:608-644).
+        pallas_extract = use_pallas and jnp.iscomplexobj(base)
         if extract_base:
-            if use_pallas:
-                from ..ops import fused_extract_channel_planes
+            pidx = jnp.take(jnp.asarray(_VARIANT_GRAD_PLANE[:r]), v)
+            if pallas_extract:
+                # gather fused into the kernel's block index map: the
+                # planes are never materialized in HBM
+                from ..ops import fused_gather_extract
 
-                grad3, logp, phase = fused_extract_channel_planes(base)
+                g, lp, ph = fused_gather_extract(base, base_idx, pidx)
+                img = jnp.stack([g, lp, ph], axis=-1)
             else:
                 grad3, logp, phase = P.extract_channel_planes(base)
-            pidx = jnp.take(jnp.asarray(_VARIANT_GRAD_PLANE[:r]), v)
-            g = jnp.take(
-                grad3.reshape(3 * n_base, patch_size, patch_size),
-                pidx * n_base + base_idx, axis=0,
-            )
-            img = jnp.stack(
-                [g, jnp.take(logp, base_idx, axis=0),
-                 jnp.take(phase, base_idx, axis=0)], axis=-1,
-            )
+                g = jnp.take(
+                    grad3.reshape(3 * n_base, patch_size, patch_size),
+                    pidx * n_base + base_idx, axis=0,
+                )
+                img = jnp.stack(
+                    [g, jnp.take(logp, base_idx, axis=0),
+                     jnp.take(phase, base_idx, axis=0)], axis=-1,
+                )
             images = _transform_by_variant_nhwc(img, v)
         else:
             src = patches if patches is not None else _transform_by_variant(
                 jnp.take(base, base_idx, axis=0), v)
-            if use_pallas:
+            if pallas_extract:
                 from ..ops import fused_extract_channels
 
                 images = fused_extract_channels(src)

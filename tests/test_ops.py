@@ -7,6 +7,7 @@ import pytest
 from rfi_toolbox_tpu.ops import (
     fused_extract_channel_planes,
     fused_extract_channels,
+    fused_gather_extract,
     mad_flag_patches_pallas,
 )
 from rfi_toolbox_tpu.preprocess import pipeline as P
@@ -49,6 +50,29 @@ def test_fused_channel_planes_parity(rng):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
                                atol=2e-5)
+
+
+def test_fused_gather_extract_parity(rng):
+    """The gather-fused kernel equals take-from-the-planes at every
+    (base_idx, variant) combination — the planes are just never
+    materialized. Tolerance covers per-program FMA contraction (the
+    same ~1e-6 rounding class the static-prep parity tests carry)."""
+    import jax.numpy as jnp
+
+    patches = _complex_patches(rng, n=5, h=32, w=32)
+    k = 17
+    base_idx = rng.integers(0, 5, size=k).astype(np.int32)
+    pidx = rng.integers(0, 3, size=k).astype(np.int32)
+    g, lp, ph = fused_gather_extract(
+        jnp.asarray(patches), jnp.asarray(base_idx), jnp.asarray(pidx),
+        interpret=True)
+    grad3, logp, phase = P.extract_channel_planes(jnp.asarray(patches))
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(grad3)[pidx, base_idx], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(logp)[base_idx], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ph), np.asarray(phase)[base_idx], atol=2e-5)
 
 
 def test_channel_planes_match_transform_then_extract(rng):

@@ -297,3 +297,38 @@ def test_device_preprocessor_raw_patches(rng):
 def test_device_preprocessor_rejects_real():
     with pytest.raises(ValueError, match="complex"):
         DevicePreprocessor(np.zeros((1, 1, 8, 8), np.float32))
+
+
+def test_real_input_use_pallas_routes_to_jnp_extraction(rng):
+    """The Pallas extraction kernels implement the COMPLEX channel
+    semantics only; real input with use_pallas=True must take the jnp
+    real fallback (min-max log amp + zero phase). Before the guard,
+    this call invoked the kernel with a zero imaginary plane — wrong
+    phase/log channels on TPU, a crash here on CPU. Custom flags keep
+    the (real-correct, TPU-only) MAD kernel out of the way."""
+    data = rng.uniform(1.0, 100.0, (1, 1, 256, 256)).astype(np.float32)
+    flags = data > 50.0
+    kwargs = dict(patch_size=128, use_custom_flags=True, seed=0)
+    got = Preprocessor(data, flags=flags).create_dataset(
+        use_pallas=True, **kwargs)
+    want = Preprocessor(data, flags=flags).create_dataset(
+        use_pallas=False, **kwargs)
+    np.testing.assert_array_equal(np.asarray(got.images),
+                                  np.asarray(want.images))
+    # real fallback: zero phase channel -> ImageNet affine of 0
+    np.testing.assert_allclose(
+        np.asarray(got.images)[..., 2], (0.0 - 0.406) / 0.225, atol=1e-6)
+
+
+def test_real_input_use_pallas_static_path(rng):
+    """Same guard on the fused static path (static_num_patches)."""
+    data = rng.uniform(1.0, 100.0, (1, 1, 256, 256)).astype(np.float32)
+    flags = data > 50.0
+    kwargs = dict(patch_size=128, use_custom_flags=True, seed=0,
+                  static_num_patches=4)
+    got = Preprocessor(data, flags=flags).create_dataset(
+        use_pallas=True, **kwargs)
+    want = Preprocessor(data, flags=flags).create_dataset(
+        use_pallas=False, **kwargs)
+    np.testing.assert_array_equal(np.asarray(got.images),
+                                  np.asarray(want.images))
