@@ -15,6 +15,7 @@ from .fused_channels import (
     fused_extract_channel_planes,
     fused_extract_channels,
     fused_gather_extract,
+    fused_gather_extract_transform,
 )
 from .mad_flags import mad_flag_patches_pallas
 
@@ -22,6 +23,7 @@ __all__ = [
     "fused_extract_channels",
     "fused_extract_channel_planes",
     "fused_gather_extract",
+    "fused_gather_extract_transform",
     "mad_flag_patches_pallas",
     "conv3x3",
     "conv3x3_bias_relu",

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from rfi_toolbox_tpu.ops import (
     fused_extract_channel_planes,
     fused_extract_channels,
+    fused_gather_extract,
 )
 from rfi_toolbox_tpu.preprocess import pipeline as P
 from rfi_toolbox_tpu.preprocess.static_prep import (
@@ -128,6 +129,14 @@ def main():
     g = jax.jit(lambda x: P.imagenet_normalize(P.extract_channels(x)))
     results["xla1920_ms"] = round(timed(g, gathered), 2)
     log(f"xla1920: {results['xla1920_ms']} ms")
+
+    # gather-fused kernel: K selected patches extracted straight from
+    # the base array (scalar-prefetch DMA), planes never materialized
+    pidx_k = jnp.asarray(np.random.default_rng(0).integers(0, 3, K),
+                         jnp.int32)
+    results["gatherk1920_ms"] = round(
+        timed(lambda b: fused_gather_extract(b, idx, pidx_k), base), 2)
+    log(f"gatherk1920: {results['gatherk1920_ms']} ms")
 
     # stage: plane gather + stack + NHWC transform (new path epilogue)
     nh = nw = C // PATCH
