@@ -70,8 +70,13 @@ def timed(fn, *args, iters=8, reps=3):
             _sync(out)  # compile + fence
             break
         except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            transient = ("RESOURCE_EXHAUSTED" in msg or "500" in msg
+                         or "UNAVAILABLE" in msg)
+            if not transient:
+                raise  # deterministic failure (e.g. Mosaic lowering)
             log(f"compile attempt {attempt + 1} failed "
-                f"({str(e).splitlines()[0][:100]}); retrying in 120 s")
+                f"({msg.splitlines()[0][:100]}); retrying in 120 s")
             time.sleep(120)
     vals = []
     for _ in range(reps):
@@ -137,6 +142,20 @@ def main():
     results["gatherk1920_ms"] = round(
         timed(lambda b: fused_gather_extract(b, idx, pidx_k), base), 2)
     log(f"gatherk1920: {results['gatherk1920_ms']} ms")
+
+    # in-kernel variant transform (epilogue-free variant); Mosaic may
+    # reject the kernel transpose/rev — skip on compile failure
+    from rfi_toolbox_tpu.ops import fused_gather_extract_transform
+
+    vk = jnp.asarray(np.random.default_rng(1).integers(0, 4, K), jnp.int32)
+    try:
+        results["gathertf1920_ms"] = round(
+            timed(lambda b: fused_gather_extract_transform(b, idx, vk),
+                  base, ), 2)
+        log(f"gathertf1920: {results['gathertf1920_ms']} ms")
+    except Exception as e:  # noqa: BLE001
+        results["gathertf1920_error"] = str(e).splitlines()[0][:160]
+        log(f"gathertf1920 failed: {results['gathertf1920_error']}")
 
     # stage: plane gather + stack + NHWC transform (new path epilogue)
     nh = nw = C // PATCH
