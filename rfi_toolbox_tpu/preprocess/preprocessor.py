@@ -281,7 +281,7 @@ class Preprocessor:
 
         have_custom = use_custom_flags and self.flags is not None
         if have_custom:
-            flag_flat = _flatten_waterfalls(self.flags).astype(jnp.float32)
+            flag_flat = _flatten_waterfalls(self.flags).astype(jnp.uint8)
             flag_patches, _ = _augment_and_patchify(
                 flag_flat, patch_size, rotations, do_patch
             )
@@ -442,7 +442,7 @@ class DevicePreprocessor:
             patches, masks = flat, flag_flat
         else:
             patches = P.patchify_batch(flat, patch_size)
-            masks = P.patchify_batch(flag_flat.astype(jnp.float32), patch_size) > 0
+            masks = P.patchify_batch(flag_flat.astype(jnp.uint8), patch_size) > 0
 
         n = patches.shape[0]
         rng = np.random.default_rng(seed) if seed is not None else np.random

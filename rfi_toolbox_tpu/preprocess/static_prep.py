@@ -174,8 +174,10 @@ def make_static_prep_fn(
                 base = P.normalize_by_median(base)
 
         if flags_mode == "custom":
+            # uint8, not float32: the flag patchify is pure layout
+            # traffic and 1-byte lanes quarter it
             base_f = P.patchify_batch(
-                flag_flat.astype(jnp.float32), patch_size) > 0
+                flag_flat.astype(jnp.uint8), patch_size) > 0
         elif flags_mode == "mad":
             if use_pallas:
                 from ..ops import mad_flag_patches_pallas
