@@ -32,6 +32,7 @@ __all__ = [
     "fused_extract_channels",
     "fused_extract_channel_planes",
     "fused_gather_extract",
+    "fused_gather_extract_transform",
 ]
 
 # atan(t)/t as a polynomial in s = t^2 on t in [0, 1] (Chebyshev fit,

@@ -281,7 +281,10 @@ class Preprocessor:
 
         have_custom = use_custom_flags and self.flags is not None
         if have_custom:
-            flag_flat = _flatten_waterfalls(self.flags).astype(jnp.uint8)
+            # nonzero test, not astype: truncation would silently
+            # unflag fractional float flag values (e.g. 0.5); bool is
+            # still 1-byte lanes so the traffic win is identical
+            flag_flat = _flatten_waterfalls(self.flags) != 0
             flag_patches, _ = _augment_and_patchify(
                 flag_flat, patch_size, rotations, do_patch
             )

@@ -174,10 +174,10 @@ def make_static_prep_fn(
                 base = P.normalize_by_median(base)
 
         if flags_mode == "custom":
-            # uint8, not float32: the flag patchify is pure layout
-            # traffic and 1-byte lanes quarter it
-            base_f = P.patchify_batch(
-                flag_flat.astype(jnp.uint8), patch_size) > 0
+            # nonzero test, not astype(uint8): truncation would silently
+            # unflag fractional float flags; bool keeps the 1-byte-lane
+            # traffic win of the layout pass
+            base_f = P.patchify_batch(flag_flat != 0, patch_size)
         elif flags_mode == "mad":
             if use_pallas:
                 from ..ops import mad_flag_patches_pallas

@@ -52,6 +52,9 @@ enable_compilation_cache()
 B, C, T, PATCH, K = 8, 1024, 1024, 128, 1920
 
 
+RESULTS_PATH = Path(__file__).parent / "prep_ablation.json"
+
+
 def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
@@ -78,6 +81,8 @@ def timed(fn, *args, iters=8, reps=3):
             log(f"compile attempt {attempt + 1} failed "
                 f"({msg.splitlines()[0][:100]}); retrying in 120 s")
             time.sleep(120)
+    else:
+        raise RuntimeError("compile never landed after 12 attempts")
     vals = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -89,7 +94,17 @@ def timed(fn, *args, iters=8, reps=3):
 
 
 def main():
-    results = {}
+    # resumable: stages already in the JSON (from a prior run killed by
+    # a compile-service outage) are skipped; every stage writes through
+    results = json.loads(RESULTS_PATH.read_text()) if RESULTS_PATH.exists() else {}
+
+    def stage(key, thunk):
+        if key in results:
+            log(f"{key}: {results[key]} (cached)")
+            return
+        results[key] = round(thunk(), 2)
+        RESULTS_PATH.write_text(json.dumps(results, indent=1))
+        log(f"{key}: {results[key]} ms")
     sample_fn = make_sample_generator(
         C, T, noise_level=1.0, rfi_power_min=1000.0, rfi_power_max=10000.0,
         rfi_config={
@@ -104,9 +119,8 @@ def main():
     gen = jax.jit(lambda k: jax.vmap(sample_fn)(jax.random.split(k, B)))
     wf, mask, _ = gen(jax.random.key(0))
     _sync(wf.real)
-    results["gen_ms"] = round(timed(lambda k: gen(k)[0].real,
-                                    jax.random.key(1)), 2)
-    log(f"gen: {results['gen_ms']} ms")
+    stage("gen_ms", lambda: timed(lambda k: gen(k)[0].real,
+                                  jax.random.key(1)))
 
     flat = wf.reshape(B, C, T)
     flag_flat = mask.reshape(B, C, T)
@@ -118,8 +132,7 @@ def main():
     # the 16 MB scoped-VMEM stack and is clamped to 16 in the kernel)
     for blk in (4, 8, 16):
         f = jax.jit(lambda x, b=blk: fused_extract_channel_planes(x, block=b))
-        results[f"planes512_block{blk}_ms"] = round(timed(f, base), 2)
-        log(f"planes512 block={blk}: {results[f'planes512_block{blk}_ms']} ms")
+        stage(f"planes512_block{blk}_ms", lambda f=f: timed(f, base))
 
     # stage: old kernel on 1920 gathered patches (block ladder)
     idx = jnp.arange(K) % base.shape[0]
@@ -127,35 +140,36 @@ def main():
     _sync(gathered.real)
     for blk in (4, 8, 16, 32, 64):
         f = jax.jit(lambda x, b=blk: fused_extract_channels(x, block=b))
-        results[f"kernel1920_block{blk}_ms"] = round(timed(f, gathered), 2)
-        log(f"kernel1920 block={blk}: {results[f'kernel1920_block{blk}_ms']} ms")
+        stage(f"kernel1920_block{blk}_ms", lambda f=f: timed(f, gathered))
 
     # XLA jnp extraction on 1920 for reference
     g = jax.jit(lambda x: P.imagenet_normalize(P.extract_channels(x)))
-    results["xla1920_ms"] = round(timed(g, gathered), 2)
-    log(f"xla1920: {results['xla1920_ms']} ms")
+    stage("xla1920_ms", lambda: timed(g, gathered))
 
     # gather-fused kernel: K selected patches extracted straight from
     # the base array (scalar-prefetch DMA), planes never materialized
     pidx_k = jnp.asarray(np.random.default_rng(0).integers(0, 3, K),
                          jnp.int32)
-    results["gatherk1920_ms"] = round(
-        timed(lambda b: fused_gather_extract(b, idx, pidx_k), base), 2)
-    log(f"gatherk1920: {results['gatherk1920_ms']} ms")
+    stage("gatherk1920_ms",
+          lambda: timed(lambda b: fused_gather_extract(b, idx, pidx_k), base))
 
     # in-kernel variant transform (epilogue-free variant); Mosaic may
-    # reject the kernel transpose/rev — skip on compile failure
+    # reject the kernel transpose/rev — skip on compile failure.
+    # (results are written through per stage, so even a SIGABRT here
+    # cannot void earlier measurements)
     from rfi_toolbox_tpu.ops import fused_gather_extract_transform
 
     vk = jnp.asarray(np.random.default_rng(1).integers(0, 4, K), jnp.int32)
-    try:
-        results["gathertf1920_ms"] = round(
-            timed(lambda b: fused_gather_extract_transform(b, idx, vk),
-                  base, ), 2)
-        log(f"gathertf1920: {results['gathertf1920_ms']} ms")
-    except Exception as e:  # noqa: BLE001
-        results["gathertf1920_error"] = str(e).splitlines()[0][:160]
-        log(f"gathertf1920 failed: {results['gathertf1920_error']}")
+    if "gathertf1920_ms" not in results and "gathertf1920_error" not in results:
+        try:
+            results["gathertf1920_ms"] = round(
+                timed(lambda b: fused_gather_extract_transform(b, idx, vk),
+                      base, ), 2)
+            log(f"gathertf1920: {results['gathertf1920_ms']} ms")
+        except Exception as e:  # noqa: BLE001
+            results["gathertf1920_error"] = str(e).splitlines()[0][:160]
+            log(f"gathertf1920 failed: {results['gathertf1920_error']}")
+        RESULTS_PATH.write_text(json.dumps(results, indent=1))
 
     # stage: plane gather + stack + NHWC transform (new path epilogue)
     nh = nw = C // PATCH
@@ -179,8 +193,7 @@ def main():
     planes = jax.jit(fused_extract_channel_planes)(base)
     _sync(planes[1])
     keep = jnp.arange(K) * (B * 4 * kpp // K)
-    results["gather_tf_ms"] = round(timed(gather_tf, planes, keep), 2)
-    log(f"gather+stack+transform: {results['gather_tf_ms']} ms")
+    stage("gather_tf_ms", lambda: timed(gather_tf, planes, keep))
 
     # full static programs
     key = jax.random.key(5)
@@ -193,13 +206,10 @@ def main():
     ):
         fn = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
                                  use_pallas=True, **kw)
-        results[f"{name}_ms"] = round(
-            timed(lambda: fn(flat, flag_flat, key)[0]), 2)
-        log(f"{name}: {results[f'{name}_ms']} ms")
+        stage(f"{name}_ms",
+              lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0]))
 
     print(json.dumps(results), flush=True)
-    (Path(__file__).parent / "prep_ablation.json").write_text(
-        json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":

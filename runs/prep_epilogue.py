@@ -50,9 +50,16 @@ def timed(fn, *args, iters=8, reps=3):
             _sync(out)
             break
         except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            transient = ("RESOURCE_EXHAUSTED" in msg or "500" in msg
+                         or "UNAVAILABLE" in msg)
+            if not transient:
+                raise  # deterministic failure — don't mask it by retrying
             log(f"compile attempt {attempt + 1} failed "
-                f"({str(e).splitlines()[0][:90]}); retrying in 120 s")
+                f"({msg.splitlines()[0][:90]}); retrying in 120 s")
             time.sleep(120)
+    else:
+        raise RuntimeError("compile never landed after 12 attempts")
     vals = []
     for _ in range(reps):
         t0 = time.perf_counter()

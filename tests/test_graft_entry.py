@@ -25,10 +25,16 @@ def test_entry_jits():
     assert out.shape == (8, 128, 128, 1)
 
 
-def test_dryrun_multichip_direct():
+def test_dryrun_multichip_direct(capsys):
     """With >=8 devices live (conftest provisions 8 virtual CPU devices),
-    the dryrun runs in-process."""
+    the dryrun runs in-process and certifies all three trainers
+    (UNet dp x tp x sp, InstanceTrainer dp, CoherentTrainer dp)."""
     graft.dryrun_multichip(8)
+    out = capsys.readouterr().out
+    assert "dryrun_multichip OK" in out
+    assert "InstanceTrainer OK" in out
+    assert "CoherentTrainer OK" in out
+    assert "trainers certified" in out
 
 
 def test_dryrun_multichip_from_single_device_process():
@@ -50,10 +56,11 @@ def test_dryrun_multichip_from_single_device_process():
         cwd=REPO_ROOT,
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+    assert "trainers certified" in proc.stdout, proc.stdout
 
 
 def test_dryrun_child_guard():
