@@ -154,7 +154,8 @@ def _train_instance(args, given):
     features = args.init_features if "init_features" in given else 48
     model = SOLOLite(num_classes=args.num_classes,
                      grid_size=args.grid_size,
-                     features=features, embed_dim=features)
+                     features=features, embed_dim=features,
+                     space_to_depth=args.space_to_depth)
     if "lr" in given:
         lr = args.lr
     else:
@@ -296,11 +297,12 @@ def main(argv=None):
         "task; see BASELINE.md)")
     parser.add_argument(
         "--space_to_depth", action="store_true",
-        help="[--coherent] build the MXU-packed UNet variant "
-        "(UNet(space_to_depth=True) — the whole network runs at half "
-        "spatial resolution; ~1.8x faster per step, see bench.py "
-        "train_s2d). Recorded in exported snapshot metadata so "
-        "evaluate/serving reconstruct it")
+        help="build the MXU-packed model variant: with [--coherent] the "
+        "UNet runs at half spatial resolution (~1.8x faster per step, "
+        "see bench.py train_s2d); with [--instance] the SOLOLite stem "
+        "packs 2x2 into channels (full-res f-channel stage removed, "
+        "mask head unchanged). Recorded in exported snapshot metadata "
+        "so evaluate/serving reconstruct it")
     parser.add_argument(
         "--instance", action="store_true",
         help="Train a SOLOLite instance-segmentation detector on "

@@ -65,6 +65,7 @@ class SOLOLite(nn.Module):
     embed_dim: int = 32
     features: int = 32
     dtype: jnp.dtype = jnp.float32
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,9 +78,22 @@ class SOLOLite(nn.Module):
         x = x.astype(self.dtype)
 
         # --- backbone: 4 stages, strides 1/2/4/8 ------------------------
-        c1 = _ConvBlock(f, self.dtype)(x, train)                    # H
-        c2 = _ConvBlock(f * 2, self.dtype)(
-            nn.max_pool(c1, (2, 2), strides=(2, 2)), train)          # H/2
+        if self.space_to_depth:
+            # MXU-packed stem (opt-in, beyond-reference): the FPN only
+            # consumes c3/c4, so the full-resolution f-channel stage —
+            # 25% N-utilization of the 128-wide MXU at f=32, the same
+            # pattern BASELINE.md's roofline table names for the UNet —
+            # can be replaced by a 2x2 space-to-depth pack plus two
+            # half-res blocks at 2f. Every downstream shape (c3, c4,
+            # mask head at H/4, grid heads) is unchanged.
+            from .unet import space_to_depth as _s2d
+
+            c2 = _ConvBlock(f * 2, self.dtype)(_s2d(x), train)       # H/2
+            c2 = _ConvBlock(f * 2, self.dtype)(c2, train)            # H/2
+        else:
+            c1 = _ConvBlock(f, self.dtype)(x, train)                 # H
+            c2 = _ConvBlock(f * 2, self.dtype)(
+                nn.max_pool(c1, (2, 2), strides=(2, 2)), train)      # H/2
         c3 = _ConvBlock(f * 4, self.dtype)(
             nn.max_pool(c2, (2, 2), strides=(2, 2)), train)          # H/4
         c4 = _ConvBlock(f * 8, self.dtype)(

@@ -438,6 +438,7 @@ class InstanceTrainer:
                 "grid_size": self.model.grid_size,
                 "embed_dim": self.model.embed_dim,
                 "features": self.model.features,
+                "space_to_depth": bool(self.model.space_to_depth),
                 "patch_size": self.patch_size,
             },
         )
@@ -452,6 +453,7 @@ class InstanceTrainer:
         model = SOLOLite(
             num_classes=meta["num_classes"], grid_size=meta["grid_size"],
             embed_dim=meta["embed_dim"], features=meta["features"],
+            space_to_depth=bool(meta.get("space_to_depth", False)),
         )
         trainer = cls(model=model, patch_size=meta["patch_size"], **kwargs)
         trainer._init()

@@ -35,6 +35,44 @@ def test_forward_shapes():
     assert masks.shape == (2, 64, 16, 16)
 
 
+def test_forward_shapes_space_to_depth():
+    """The packed stem changes NO output shape: the FPN consumes only
+    c3/c4, so s2d replaces the full-res stage while the mask head stays
+    at H/4 and the grid heads at S x S."""
+    model = SOLOLite(num_classes=6, grid_size=8, embed_dim=16, features=8,
+                     space_to_depth=True)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["cate_logits"].shape == (2, 8, 8, 6)
+    assert out["kernels"].shape == (2, 8, 8, 16)
+    assert out["mask_feats"].shape == (2, 16, 16, 16)
+    # no full-resolution conv parameters exist in the packed stem
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    assert all("ConvBlock_0" not in jax.tree_util.keystr(k)
+               or v.shape[-1] != 8 for k, v in flat if v.ndim == 4)
+
+
+def test_instance_trainer_space_to_depth_roundtrip(tmp_path):
+    """A packed-stem trainer trains, exports, and reloads with the flag
+    preserved through snapshot metadata (evaluate CLI path)."""
+    from rfi_toolbox_tpu.train import InstanceTrainer
+
+    model = SOLOLite(num_classes=6, grid_size=8, embed_dim=16, features=8,
+                     space_to_depth=True)
+    tr = InstanceTrainer(model=model, patch_size=64, batch_size=2, seed=0)
+    out = tr.fit(num_steps=2, log_every=2)
+    assert np.isfinite(out["history"][-1]["loss"])
+    path = tr.save(tmp_path / "s2d.npz")
+    tr2 = InstanceTrainer.load(path, batch_size=2)
+    assert tr2.model.space_to_depth is True
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        jax.device_get(tr.params), jax.device_get(tr2.params),
+    )
+
+
 def test_assign_targets_center_region():
     # one instance: a block in the top-left quadrant
     inst = np.zeros((1, 2, 64, 64), np.float32)
