@@ -21,6 +21,7 @@ dispatches OOM the remote backend — CLAUDE.md).
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -63,11 +64,11 @@ def _sync(x):
     return np.asarray(jax.tree.leaves(x)[0].reshape(-1)[0])
 
 
-def timed(fn, *args, iters=8, reps=3):
+def timed(fn, *args, iters=8, reps=3, attempts=3):
     # the remote compile service intermittently fails fresh compiles
     # with RESOURCE_EXHAUSTED / HTTP 500 for stretches (CLAUDE.md) —
     # retry the compile+fence until it lands
-    for attempt in range(12):
+    for attempt in range(attempts):
         try:
             out = fn(*args)
             _sync(out)  # compile + fence
@@ -82,7 +83,7 @@ def timed(fn, *args, iters=8, reps=3):
                 f"({msg.splitlines()[0][:100]}); retrying in 120 s")
             time.sleep(120)
     else:
-        raise RuntimeError("compile never landed after 12 attempts")
+        raise RuntimeError(f"compile never landed after {attempts} attempts")
     vals = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -95,16 +96,40 @@ def timed(fn, *args, iters=8, reps=3):
 
 def main():
     # resumable: stages already in the JSON (from a prior run killed by
-    # a compile-service outage) are skipped; every stage writes through
+    # a compile-service outage) are skipped; every stage writes through.
+    # Round-5 finding: fresh compiles fail with persistent
+    # RESOURCE_EXHAUSTED *from a process that has already run several
+    # programs*, while a brand-new process compiles the same shapes in
+    # ~2 s — so each new stage runs in its own process: after
+    # RFI_MAX_NEW_STAGES (default 1) completed stages the script exits
+    # with code 3 ("more stages remain") and the wrapper relaunches it.
     results = json.loads(RESULTS_PATH.read_text()) if RESULTS_PATH.exists() else {}
+    max_new = int(os.environ.get("RFI_MAX_NEW_STAGES", 1))
+    new_done = [0]
 
-    def stage(key, thunk):
-        if key in results:
-            log(f"{key}: {results[key]} (cached)")
+    def stage(key, thunk, optional=False):
+        """optional=True: a persistent compile failure records an
+        _error entry and moves on instead of killing the run (the
+        old-path 1920-patch kernel compiles have been failing with
+        RESOURCE_EXHAUSTED for two rounds)."""
+        if key in results or f"{key}_error" in results:
+            log(f"{key}: {results.get(key, 'error')} (cached)")
             return
-        results[key] = round(thunk(), 2)
+        try:
+            results[key] = round(thunk(), 2)
+        except Exception as e:  # noqa: BLE001
+            if not optional:
+                raise
+            results[f"{key}_error"] = str(e).splitlines()[0][:160]
+            log(f"{key} failed: {results[f'{key}_error']}")
         RESULTS_PATH.write_text(json.dumps(results, indent=1))
-        log(f"{key}: {results[key]} ms")
+        if key in results:
+            log(f"{key}: {results[key]} ms")
+        new_done[0] += 1
+        if new_done[0] >= max_new:
+            log(f"{new_done[0]} new stage(s) done — exiting for a fresh "
+                "process (rc=3)")
+            sys.exit(3)
     sample_fn = make_sample_generator(
         C, T, noise_level=1.0, rfi_power_min=1000.0, rfi_power_max=10000.0,
         rfi_config={
@@ -134,43 +159,6 @@ def main():
         f = jax.jit(lambda x, b=blk: fused_extract_channel_planes(x, block=b))
         stage(f"planes512_block{blk}_ms", lambda f=f: timed(f, base))
 
-    # stage: old kernel on 1920 gathered patches (block ladder)
-    idx = jnp.arange(K) % base.shape[0]
-    gathered = jax.jit(lambda b, i: jnp.take(b, i, axis=0))(base, idx)
-    _sync(gathered.real)
-    for blk in (4, 8, 16, 32, 64):
-        f = jax.jit(lambda x, b=blk: fused_extract_channels(x, block=b))
-        stage(f"kernel1920_block{blk}_ms", lambda f=f: timed(f, gathered))
-
-    # XLA jnp extraction on 1920 for reference
-    g = jax.jit(lambda x: P.imagenet_normalize(P.extract_channels(x)))
-    stage("xla1920_ms", lambda: timed(g, gathered))
-
-    # gather-fused kernel: K selected patches extracted straight from
-    # the base array (scalar-prefetch DMA), planes never materialized
-    pidx_k = jnp.asarray(np.random.default_rng(0).integers(0, 3, K),
-                         jnp.int32)
-    stage("gatherk1920_ms",
-          lambda: timed(lambda b: fused_gather_extract(b, idx, pidx_k), base))
-
-    # in-kernel variant transform (epilogue-free variant); Mosaic may
-    # reject the kernel transpose/rev — skip on compile failure.
-    # (results are written through per stage, so even a SIGABRT here
-    # cannot void earlier measurements)
-    from rfi_toolbox_tpu.ops import fused_gather_extract_transform
-
-    vk = jnp.asarray(np.random.default_rng(1).integers(0, 4, K), jnp.int32)
-    if "gathertf1920_ms" not in results and "gathertf1920_error" not in results:
-        try:
-            results["gathertf1920_ms"] = round(
-                timed(lambda b: fused_gather_extract_transform(b, idx, vk),
-                      base, ), 2)
-            log(f"gathertf1920: {results['gathertf1920_ms']} ms")
-        except Exception as e:  # noqa: BLE001
-            results["gathertf1920_error"] = str(e).splitlines()[0][:160]
-            log(f"gathertf1920 failed: {results['gathertf1920_error']}")
-        RESULTS_PATH.write_text(json.dumps(results, indent=1))
-
     # stage: plane gather + stack + NHWC transform (new path epilogue)
     nh = nw = C // PATCH
     kpp = nh * nw
@@ -195,11 +183,63 @@ def main():
     keep = jnp.arange(K) * (B * 4 * kpp // K)
     stage("gather_tf_ms", lambda: timed(gather_tf, planes, keep))
 
-    # full static programs
+    # full static programs — the SHIPPED path first (extract='base'):
+    # these are the decision-critical numbers, so they run before the
+    # old-path kernel ladder, whose 1920-patch compiles have been
+    # failing with persistent RESOURCE_EXHAUSTED from the remote
+    # compile service (this round AND at the same stage in round 4)
     key = jax.random.key(5)
     for name, kw in (
         ("full_base", dict(extract="base", return_patches=False)),
         ("full_base_patches", dict(extract="base", return_patches=True)),
+    ):
+        fn = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
+                                 use_pallas=True, **kw)
+        stage(f"{name}_ms",
+              lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0]))
+
+    # XLA jnp extraction on 1920 for reference (no Pallas)
+    idx = jnp.arange(K) % base.shape[0]
+    gathered = jax.jit(lambda b, i: jnp.take(b, i, axis=0))(base, idx)
+    _sync(gathered.real)
+    g = jax.jit(lambda x: P.imagenet_normalize(P.extract_channels(x)))
+    stage("xla1920_ms", lambda: timed(g, gathered))
+
+    # gather-fused kernel: K selected patches extracted straight from
+    # the base array (scalar-prefetch DMA), planes never materialized
+    pidx_k = jnp.asarray(np.random.default_rng(0).integers(0, 3, K),
+                         jnp.int32)
+    stage("gatherk1920_ms",
+          lambda: timed(lambda b: fused_gather_extract(b, idx, pidx_k), base,
+                        attempts=2),
+          optional=True)
+
+    # stage: old kernel on 1920 gathered patches (block ladder)
+    for blk in (4, 8, 16, 32, 64):
+        f = jax.jit(lambda x, b=blk: fused_extract_channels(x, block=b))
+        stage(f"kernel1920_block{blk}_ms",
+              lambda f=f: timed(f, gathered, attempts=2), optional=True)
+
+    # in-kernel variant transform (epilogue-free variant); Mosaic may
+    # reject the kernel transpose/rev — skip on compile failure.
+    # (results are written through per stage, so even a SIGABRT here
+    # cannot void earlier measurements)
+    from rfi_toolbox_tpu.ops import fused_gather_extract_transform
+
+    vk = jnp.asarray(np.random.default_rng(1).integers(0, 4, K), jnp.int32)
+    if "gathertf1920_ms" not in results and "gathertf1920_error" not in results:
+        try:
+            results["gathertf1920_ms"] = round(
+                timed(lambda b: fused_gather_extract_transform(b, idx, vk),
+                      base, attempts=2), 2)
+            log(f"gathertf1920: {results['gathertf1920_ms']} ms")
+        except Exception as e:  # noqa: BLE001
+            results["gathertf1920_error"] = str(e).splitlines()[0][:160]
+            log(f"gathertf1920 failed: {results['gathertf1920_error']}")
+        RESULTS_PATH.write_text(json.dumps(results, indent=1))
+
+    # old-path full programs (extract='gathered' uses the 1920 kernel)
+    for name, kw in (
         ("full_gathered", dict(extract="gathered", return_patches=True)),
         ("full_gathered_nopatches",
          dict(extract="gathered", return_patches=False)),
@@ -207,7 +247,9 @@ def main():
         fn = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
                                  use_pallas=True, **kw)
         stage(f"{name}_ms",
-              lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0]))
+              lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0],
+                                  attempts=2),
+              optional=True)
 
     print(json.dumps(results), flush=True)
 

@@ -35,15 +35,25 @@ OUT.mkdir(exist_ok=True)
 
 trainer = CoherentTrainer(init_features=F, size=256, batch_size=16,
                           norm="group", space_to_depth=True)
+
+# resume-on-relaunch: a compile-service outage mid-run must not void it
+ckpts = sorted((OUT / "ckpts").glob("step_*"),
+               key=lambda p: int(p.name.split("_")[1]))
+if ckpts:
+    got = trainer.restore_checkpoint(ckpts[-1], num_steps_hint=STEPS)
+    print(f"resumed from {ckpts[-1]} at step {got}", flush=True)
+
 t0 = time.perf_counter()
+start_step = trainer.step
 
 
 def _log(step, loss):
+    rate = (step - start_step) / (time.perf_counter() - t0)
     print(f"[{time.strftime('%H:%M:%S')}] step {step} loss {loss:.4f} "
-          f"({step / (time.perf_counter() - t0):.1f} steps/s)", flush=True)
+          f"({rate:.1f} steps/s)", flush=True)
 
 
-trainer.fit(num_steps=STEPS, fused_steps=20, log_every=2000,
+trainer.fit(num_steps=STEPS - start_step, fused_steps=20, log_every=2000,
             checkpoint_dir=OUT / "ckpts", checkpoint_every=8000,
             callback=_log)
 train_s = time.perf_counter() - t0
@@ -56,7 +66,7 @@ result = {
     "norm": "group",
     "steps": STEPS,
     "train_seconds": round(train_s, 1),
-    "steps_per_sec": round(STEPS / train_s, 2),
+    "steps_per_sec": round((STEPS - start_step) / max(train_s, 1e-9), 2),
     "eval": report,
     "eval_tta": report_tta,
     "ladder_reference": {"f16gn": [0.9332, 0.9351],

@@ -64,6 +64,8 @@ TRAIN_BATCH = 128
 ITERS = int(os.environ.get("ITERS", 500))   # x 12 minibatches = 6000 steps
 EVAL_EVERY = max(ITERS // 5, 1)
 SMOKE = os.environ.get("SMOKE", "") == "1"  # skip sweep, 1 threshold, no ship
+TAG = os.environ.get("TAG", "")  # non-empty: probe run, don't touch the
+#                                  shipped snapshot (round-5 24k probe)
 
 TRAINED_MIX = {
     "narrowband_persistent": {"count": 20},
@@ -166,8 +168,12 @@ def main():
     log(f"trained in {train_wall_s:.0f}s")
 
     # threshold sweep on the held-out production path
-    out_path = Path("/tmp/unet16gn_universal_smoke.npz" if SMOKE
-                    else "pretrained/unet16gn_universal.npz")
+    if SMOKE:
+        out_path = Path("/tmp/unet16gn_universal_smoke.npz")
+    elif TAG:
+        out_path = Path(__file__).parent / f"universal_{TAG}.npz"
+    else:
+        out_path = Path("pretrained/unet16gn_universal.npz")
     meta = {
         "model": "UNet", "init_features": 16, "in_channels": 3,
         "norm": "group",
@@ -210,8 +216,10 @@ def main():
         "best_threshold": best[0],
         "final": {"simulator": sim_m, "synthetic": syn_m},
     }
-    out = Path(__file__).parent / (
-        "train_universal_smoke.json" if SMOKE else "train_universal.json")
+    name = ("train_universal_smoke.json" if SMOKE
+            else f"train_universal_{TAG}.json" if TAG
+            else "train_universal.json")
+    out = Path(__file__).parent / name
     out.write_text(json.dumps(results, indent=1))
     log(f"-> {out}")
 
