@@ -106,12 +106,13 @@ def main():
     results = json.loads(RESULTS_PATH.read_text()) if RESULTS_PATH.exists() else {}
     max_new = int(os.environ.get("RFI_MAX_NEW_STAGES", 1))
     new_done = [0]
+    transient_failures = [0]
 
     def stage(key, thunk, optional=False):
-        """optional=True: a persistent compile failure records an
-        _error entry and moves on instead of killing the run (the
-        old-path 1920-patch kernel compiles have been failing with
-        RESOURCE_EXHAUSTED for two rounds)."""
+        """optional=True: a compile failure is skipped for this launch
+        (transient RESOURCE_EXHAUSTED/500: logged only, retried by the
+        next fresh-process launch; deterministic errors e.g. Mosaic
+        lowering rejections: persisted as an _error entry)."""
         if key in results or f"{key}_error" in results:
             log(f"{key}: {results.get(key, 'error')} (cached)")
             return
@@ -120,8 +121,17 @@ def main():
         except Exception as e:  # noqa: BLE001
             if not optional:
                 raise
-            results[f"{key}_error"] = str(e).splitlines()[0][:160]
-            log(f"{key} failed: {results[f'{key}_error']}")
+            msg = str(e).splitlines()[0][:160]
+            transient = ("RESOURCE_EXHAUSTED" in msg or "500" in msg
+                         or "UNAVAILABLE" in msg
+                         or "never landed" in msg)
+            if transient:
+                transient_failures[0] += 1
+                log(f"{key} transient failure (will retry next launch): "
+                    f"{msg}")
+                return
+            results[f"{key}_error"] = msg
+            log(f"{key} failed deterministically: {msg}")
         RESULTS_PATH.write_text(json.dumps(results, indent=1))
         if key in results:
             log(f"{key}: {results[key]} ms")
@@ -159,6 +169,24 @@ def main():
         f = jax.jit(lambda x, b=blk: fused_extract_channel_planes(x, block=b))
         stage(f"planes512_block{blk}_ms", lambda f=f: timed(f, base))
 
+    # full static programs FIRST — the SHIPPED path (extract='base')
+    # compiled in round 4 and is served from the persistent disk cache,
+    # so these decision-critical numbers land even while the compile
+    # service is rejecting fresh 1920-patch programs (round-5 finding:
+    # the rejection is program-class-specific RESOURCE_EXHAUSTED, it
+    # compiled the same programs in round 4)
+    key = jax.random.key(5)
+    for name, kw in (
+        ("full_base", dict(extract="base", return_patches=False)),
+        ("full_base_patches", dict(extract="base", return_patches=True)),
+    ):
+        fn = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
+                                 use_pallas=True, **kw)
+        stage(f"{name}_ms",
+              lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0],
+                                  attempts=1),
+              optional=True)
+
     # stage: plane gather + stack + NHWC transform (new path epilogue)
     nh = nw = C // PATCH
     kpp = nh * nw
@@ -181,22 +209,8 @@ def main():
     planes = jax.jit(fused_extract_channel_planes)(base)
     _sync(planes[1])
     keep = jnp.arange(K) * (B * 4 * kpp // K)
-    stage("gather_tf_ms", lambda: timed(gather_tf, planes, keep))
-
-    # full static programs — the SHIPPED path first (extract='base'):
-    # these are the decision-critical numbers, so they run before the
-    # old-path kernel ladder, whose 1920-patch compiles have been
-    # failing with persistent RESOURCE_EXHAUSTED from the remote
-    # compile service (this round AND at the same stage in round 4)
-    key = jax.random.key(5)
-    for name, kw in (
-        ("full_base", dict(extract="base", return_patches=False)),
-        ("full_base_patches", dict(extract="base", return_patches=True)),
-    ):
-        fn = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
-                                 use_pallas=True, **kw)
-        stage(f"{name}_ms",
-              lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0]))
+    stage("gather_tf_ms", lambda: timed(gather_tf, planes, keep, attempts=1),
+          optional=True)
 
     # XLA jnp extraction on 1920 for reference (no Pallas)
     idx = jnp.arange(K) % base.shape[0]
@@ -211,14 +225,14 @@ def main():
                          jnp.int32)
     stage("gatherk1920_ms",
           lambda: timed(lambda b: fused_gather_extract(b, idx, pidx_k), base,
-                        attempts=2),
+                        attempts=1),
           optional=True)
 
     # stage: old kernel on 1920 gathered patches (block ladder)
     for blk in (4, 8, 16, 32, 64):
         f = jax.jit(lambda x, b=blk: fused_extract_channels(x, block=b))
         stage(f"kernel1920_block{blk}_ms",
-              lambda f=f: timed(f, gathered, attempts=2), optional=True)
+              lambda f=f: timed(f, gathered, attempts=1), optional=True)
 
     # in-kernel variant transform (epilogue-free variant); Mosaic may
     # reject the kernel transpose/rev — skip on compile failure.
@@ -231,7 +245,7 @@ def main():
         try:
             results["gathertf1920_ms"] = round(
                 timed(lambda b: fused_gather_extract_transform(b, idx, vk),
-                      base, attempts=2), 2)
+                      base, attempts=1), 2)
             log(f"gathertf1920: {results['gathertf1920_ms']} ms")
         except Exception as e:  # noqa: BLE001
             results["gathertf1920_error"] = str(e).splitlines()[0][:160]
@@ -248,10 +262,14 @@ def main():
                                  use_pallas=True, **kw)
         stage(f"{name}_ms",
               lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0],
-                                  attempts=2),
+                                  attempts=1),
               optional=True)
 
     print(json.dumps(results), flush=True)
+    if transient_failures[0]:
+        log(f"{transient_failures[0]} stage(s) hit transient compile "
+            "failures — exiting rc=4 (retry later)")
+        sys.exit(4)
 
 
 if __name__ == "__main__":
