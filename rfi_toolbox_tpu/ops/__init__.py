@@ -16,6 +16,7 @@ from .fused_channels import (
     fused_extract_channels,
     fused_gather_extract,
     fused_gather_extract_transform,
+    fused_plane_gather_transform,
 )
 from .mad_flags import mad_flag_patches_pallas
 
@@ -24,6 +25,7 @@ __all__ = [
     "fused_extract_channel_planes",
     "fused_gather_extract",
     "fused_gather_extract_transform",
+    "fused_plane_gather_transform",
     "mad_flag_patches_pallas",
     "conv3x3",
     "conv3x3_bias_relu",

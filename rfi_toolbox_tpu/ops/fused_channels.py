@@ -33,6 +33,7 @@ __all__ = [
     "fused_extract_channel_planes",
     "fused_gather_extract",
     "fused_gather_extract_transform",
+    "fused_plane_gather_transform",
 ]
 
 # atan(t)/t as a polynomial in s = t^2 on t in [0, 1] (Chebyshev fit,
@@ -428,6 +429,81 @@ def fused_gather_extract_transform(patches, base_idx, variant,
         out_shape=(out_shape,) * 3,
         interpret=interpret,
     )(base_idx, variant, re, im)
+
+
+def _plane_gather_tf_kernel(gidx_ref, lidx_ref, vidx_ref, grad_ref,
+                            logp_ref, phase_ref, g_ref, a_ref, p_ref):
+    """Pure-DMA epilogue: the scalar-prefetched indices drive the input
+    BlockSpecs (each grid step DMAs exactly the selected plane tiles),
+    and the variant flip/transpose happens on the tile in VMEM before
+    write-back. No transcendentals — this kernel exists because XLA
+    lowers the equivalent gather + where-chain epilogue as multiple
+    materialized passes over the (K, p, p) arrays."""
+    v = vidx_ref[pl.program_id(0)]
+    g_ref[:] = _variant_transform_block(grad_ref[:], v)
+    a_ref[:] = _variant_transform_block(logp_ref[:], v)
+    p_ref[:] = _variant_transform_block(phase_ref[:], v)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_plane_gather_transform(planes, base_idx, pidx, variant,
+                                 interpret=False):
+    """Gather the selected channel planes AND apply the variant
+    flip/transpose in ONE Pallas pass.
+
+    Consumes :func:`fused_extract_channel_planes` output (extraction
+    amortized over the M base patches), gathers the K selected patches'
+    planes by scalar-prefetched indices and transforms each tile in
+    VMEM — the whole static-path epilogue (plane gather, stack select,
+    flip/transpose) becomes one kernel whose cost is the unavoidable
+    HBM read+write of the K output patches.
+
+    Args:
+        planes: (grad3 (3, M, h, w), log_amp (M, h, w), phase (M, h, w)).
+        base_idx: (K,) int32 base-patch index per output patch.
+        pidx: (K,) int32 gradient-plane selector (_VARIANT_GRAD_PLANE).
+        variant: (K,) int32 variant id [orig, flipud, T, flipud.T].
+
+    Returns:
+        (grad, log_amp, phase) each (K, h, w) float32 in the variant's
+        orientation; the caller stacks to NHWC.
+    """
+    grad3, logp, phase = planes
+    _, m, h, w = grad3.shape
+    if h != w:
+        raise ValueError("in-kernel variant transform requires square patches")
+    k = base_idx.shape[0]
+    base_idx = base_idx.astype(jnp.int32)
+    gidx = pidx.astype(jnp.int32) * m + base_idx
+    variant = variant.astype(jnp.int32)
+    gflat = grad3.reshape(3 * m, h, w)
+
+    gspec = pl.BlockSpec(
+        (1, h, w), lambda i, gi, li, vi: (gi[i], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lspec = pl.BlockSpec(
+        (1, h, w), lambda i, gi, li, vi: (li[i], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, h, w), lambda i, gi, li, vi: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((k, h, w), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k,),
+        in_specs=[gspec, lspec, lspec],
+        out_specs=(out_spec,) * 3,
+    )
+    return pl.pallas_call(
+        _plane_gather_tf_kernel,
+        grid_spec=grid_spec,
+        out_shape=(out_shape,) * 3,
+        interpret=interpret,
+    )(gidx, base_idx, variant, gflat,
+      logp.astype(jnp.float32), phase.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("interpret", "block"))

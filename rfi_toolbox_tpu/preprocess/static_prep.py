@@ -150,7 +150,7 @@ def make_static_prep_fn(
         flag_patches)`` over (M, H, W) waterfalls; ``flag_flat`` is
         ignored (pass the data again) when flags_mode='mad'.
     """
-    if extract not in ("auto", "base", "gathered"):
+    if extract not in ("auto", "base", "gathered", "planes"):
         raise ValueError(f"unknown extract mode {extract!r}")
 
     @jax.jit
@@ -207,7 +207,7 @@ def make_static_prep_fn(
         )
 
         n_base = base.shape[0]
-        extract_base = (extract == "base") or (
+        extract_base = (extract in ("base", "planes")) or (
             extract == "auto" and r > 1 and k > n_base
         )
         # The Pallas extraction kernels implement the COMPLEX channel
@@ -217,6 +217,22 @@ def make_static_prep_fn(
         pallas_extract = use_pallas and jnp.iscomplexobj(base)
         if extract_base:
             pidx = jnp.take(jnp.asarray(_VARIANT_GRAD_PLANE[:r]), v)
+            if pallas_extract and extract == "planes":
+                # extraction amortized on the M base patches, then the
+                # WHOLE epilogue (plane gather + stack select +
+                # flip/transpose) in one pure-DMA Pallas pass
+                from ..ops import (
+                    fused_extract_channel_planes,
+                    fused_plane_gather_transform,
+                )
+
+                planes = fused_extract_channel_planes(base)
+                g, lp, ph = fused_plane_gather_transform(
+                    planes, base_idx, pidx, v
+                )
+                images = jnp.stack([g, lp, ph], axis=-1)
+                return (images, flag_patches.astype(jnp.uint8), patches,
+                        flag_patches)
             if pallas_extract:
                 # gather fused into the kernel's block index map: the
                 # planes are never materialized in HBM

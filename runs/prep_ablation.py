@@ -212,6 +212,31 @@ def main():
     stage("gather_tf_ms", lambda: timed(gather_tf, planes, keep, attempts=1),
           optional=True)
 
+    # round-5 candidate: the pure-DMA Pallas epilogue (plane gather +
+    # in-VMEM variant transform) replacing the XLA gather+where chain
+    from rfi_toolbox_tpu.ops import fused_plane_gather_transform
+
+    @jax.jit
+    def plane_kernel_tf(planes, keep):
+        v = (keep // kpp) % 4
+        wf_i = keep // (4 * kpp)
+        base_idx = wf_i * kpp + jnp.take(remap, v * kpp + (keep % kpp))
+        pidx = jnp.take(jnp.asarray(_VARIANT_GRAD_PLANE), v)
+        g, lp, ph = fused_plane_gather_transform(planes, base_idx, pidx, v)
+        return jnp.stack([g, lp, ph], axis=-1)
+
+    stage("plane_kernel_tf_ms",
+          lambda: timed(plane_kernel_tf, planes, keep, attempts=1),
+          optional=True)
+
+    # the whole static program with the Pallas epilogue
+    fnp = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
+                              use_pallas=True, extract="planes",
+                              return_patches=False)
+    stage("full_planes_ms",
+          lambda: timed(lambda: fnp(flat, flag_flat, key)[0], attempts=1),
+          optional=True)
+
     # XLA jnp extraction on 1920 for reference (no Pallas)
     idx = jnp.arange(K) % base.shape[0]
     gathered = jax.jit(lambda b, i: jnp.take(b, i, axis=0))(base, idx)

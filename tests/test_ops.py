@@ -111,6 +111,67 @@ def test_fused_gather_extract_transform_parity(rng):
             jnp.asarray(np.asarray(phase)[base_idx]), vj)), atol=2e-5)
 
 
+def test_fused_plane_gather_transform_parity(rng):
+    """The pure-DMA epilogue kernel (plane gather + in-VMEM variant
+    transform) is BIT-exact vs plane-take followed by the jnp
+    flip/transpose epilogue: it moves values, it computes nothing."""
+    import jax.numpy as jnp
+
+    from rfi_toolbox_tpu.ops import fused_plane_gather_transform
+    from rfi_toolbox_tpu.preprocess.static_prep import (
+        _VARIANT_GRAD_PLANE,
+        _transform_by_variant,
+    )
+
+    patches = _complex_patches(rng, n=5, h=32, w=32)
+    k = 19
+    base_idx = rng.integers(0, 5, size=k).astype(np.int32)
+    v = rng.integers(0, 4, size=k).astype(np.int32)
+    planes = P.extract_channel_planes(jnp.asarray(patches))
+    pidx = jnp.asarray(_VARIANT_GRAD_PLANE[v])
+    g, lp, ph = fused_plane_gather_transform(
+        planes, jnp.asarray(base_idx), pidx, jnp.asarray(v),
+        interpret=True)
+    grad3, logp, phase = planes
+    vj = jnp.asarray(v)
+    np.testing.assert_array_equal(
+        np.asarray(g),
+        np.asarray(_transform_by_variant(
+            jnp.asarray(np.asarray(grad3)[np.asarray(pidx), base_idx]), vj)))
+    np.testing.assert_array_equal(
+        np.asarray(lp),
+        np.asarray(_transform_by_variant(
+            jnp.asarray(np.asarray(logp)[base_idx]), vj)))
+    np.testing.assert_array_equal(
+        np.asarray(ph),
+        np.asarray(_transform_by_variant(
+            jnp.asarray(np.asarray(phase)[base_idx]), vj)))
+
+
+def test_static_prep_extract_planes_parity(rng):
+    """extract='planes' (Pallas epilogue kernel) produces the same
+    selection as extract='base'; on CPU the kernel path can't run
+    (no interpret flag through the jitted program), so this pins the
+    MODE VALIDATION + jnp fall-through for real input instead."""
+    from rfi_toolbox_tpu.preprocess.static_prep import make_static_prep_fn
+
+    with pytest.raises(ValueError, match="unknown extract mode"):
+        make_static_prep_fn(16, 8, 4, extract="nope")
+    # real (non-complex) input routes past the Pallas branch even with
+    # use_pallas=True — identical to extract='base'
+    wf = rng.normal(size=(1, 64, 64)).astype(np.float32)
+    fl = (rng.random((1, 64, 64)) > 0.7).astype(np.float32)
+    import jax
+
+    key = jax.random.key(0)
+    a = make_static_prep_fn(16, 8, 4, flags_mode="custom", use_pallas=True,
+                            extract="planes")(wf, fl, key)
+    b = make_static_prep_fn(16, 8, 4, flags_mode="custom", use_pallas=True,
+                            extract="base")(wf, fl, key)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
 def test_channel_planes_match_transform_then_extract(rng):
     """The load-bearing identity of the extract-before-gather path: the
     gradient plane of each variant, flip/transposed AFTER extraction,
