@@ -298,4 +298,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as _e:  # noqa: BLE001
+        # a failed big compile POISONS the whole session: even a 1 KB
+        # device_put afterwards returns RESOURCE_EXHAUSTED (observed
+        # 2026-08-20 14:0x) — report it as a transient launch (rc=4)
+        # so the drive keeps cycling fresh processes
+        _m = str(_e)
+        if ("RESOURCE_EXHAUSTED" in _m or "500" in _m
+                or "UNAVAILABLE" in _m):
+            log(f"launch poisoned by transient backend failure: "
+                f"{_m.splitlines()[0][:120]}")
+            sys.exit(4)
+        raise

@@ -1,10 +1,11 @@
 #!/bin/bash
 # Round-5 serialized TPU job chain (one TPU process at a time —
-# CLAUDE.md). Outage-aware: before each job (and between retries) it
-# waits until runs/tpu_probe.py confirms the remote service accepts
-# fresh compiles + device puts, so job retry budgets are spent on real
-# work, not on a dead service. Every job is internally resumable
-# (per-stage JSON or Orbax checkpoints).
+# CLAUDE.md). Trainings run FIRST: medium-sized training programs
+# compile (slowly) through the degraded service while the ablation's
+# big 1920-patch programs are rejected outright, so the ablation runs
+# opportunistically between trainings. Outage-aware: probes service
+# health before spending job retries. Every job is internally
+# resumable (per-stage JSON or Orbax checkpoints).
 cd /root/repo
 STATUS=runs/tpu_chain_status.txt
 : > $STATUS
@@ -39,25 +40,33 @@ run_with_retries() {
   return 1
 }
 
-# 1. prep ablation (per-stage fresh-process protocol; its own driver
-#    loops internally and exits promptly when only transient failures
-#    remain)
-run_with_retries prep_drive 3 bash runs/prep_ablation_drive.sh
+# opportunistic single ablation sweep (exits fast when the service
+# rejects its big programs; resumes from per-stage JSON)
+ablation_sweep() {
+  run_with_retries prep_drive 1 bash runs/prep_ablation_drive.sh
+}
 
-# 2. s2d f=24 coherent 64k (VERDICT #2) — checkpoint-resumable
+# 1. s2d f=24 coherent 64k (VERDICT #2) — checkpoint-resumable
 run_with_retries s2d24 10 python runs/train_s2d_coherent.py 24 64000
 
-# 3. dense-grid SOLO density envelope (VERDICT #3) — checkpoint-resumable
+ablation_sweep
+
+# 2. dense-grid SOLO density envelope (VERDICT #3) — checkpoint-resumable
 run_with_retries solo_dense 10 python runs/train_solo_dense.py
 
-# 4. 8-channel universal probe (VERDICT #5b) — checkpoint-resumable
+ablation_sweep
+
+# 3. 8-channel universal probe (VERDICT #5b) — checkpoint-resumable
 run_with_retries universal8 8 python runs/universal8.py
 
-# 5. 3ch universal at 24k steps (VERDICT #5a) — restart-from-scratch
+# 4. 3ch universal at 24k steps (VERDICT #5a) — restart-from-scratch
 run_with_retries universal24k 3 \
   env ITERS=2000 TAG=24k python runs/train_universal.py
 
-# 6. SOLOLite s2d at the shipped recipe (VERDICT #4) — checkpoint-resumable
+# 5. SOLOLite s2d at the shipped recipe (VERDICT #4) — checkpoint-resumable
 run_with_retries solo_s2d 8 python runs/train_solo_s2d.py
+
+# 6. final ablation sweeps
+run_with_retries prep_drive_final 3 bash runs/prep_ablation_drive.sh
 
 note "chain complete"
