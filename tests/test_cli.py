@@ -90,6 +90,7 @@ def test_normalize_array_methods(rng):
     assert normalize_array(x, None) is x
 
 
+@pytest.mark.slow
 def test_train_and_evaluate_cli(tiny_dataset, tmp_path):
     result = train_main([
         "--train_dir", str(tiny_dataset / "train"),
@@ -110,6 +111,7 @@ def test_train_and_evaluate_cli(tiny_dataset, tmp_path):
     assert all(0.0 <= v <= 1.0 for v in metrics.values())
 
 
+@pytest.mark.slow
 def test_train_cli_groupnorm_roundtrip(tiny_dataset, tmp_path):
     """--norm group trains a GroupNorm UNet (no batch_stats) and the
     evaluate path reconstructs it via norm='group' (beyond-reference
@@ -129,6 +131,7 @@ def test_train_cli_groupnorm_roundtrip(tiny_dataset, tmp_path):
     assert all(0.0 <= v <= 1.0 for v in metrics.values())
 
 
+@pytest.mark.slow
 def test_evaluate_npz_metadata_defaults_and_tta(tiny_dataset, tmp_path):
     """evaluate_model on a .npz snapshot defaults init_features and
     threshold from the snapshot metadata (the shipped snapshots record
@@ -190,6 +193,7 @@ def test_train_coherent_rejects_non_data_mesh(tmp_path):
                         "--num_steps", "1"])
 
 
+@pytest.mark.slow
 def test_train_resume_cli(tiny_dataset, tmp_path):
     r1 = train_main([
         "--train_dir", str(tiny_dataset / "train"),
@@ -210,6 +214,7 @@ def test_train_resume_cli(tiny_dataset, tmp_path):
     assert r2["history"][0]["epoch"] == 2  # resumed past epoch 1
 
 
+@pytest.mark.slow
 def test_train_cli_coherent_export_and_resume(tmp_path):
     """--coherent trains on device-generated coherent samples end to
     end: checkpoints land in --checkpoint_dir, the closing sweep picks
@@ -244,6 +249,7 @@ def test_train_cli_coherent_export_and_resume(tmp_path):
     assert res2["steps"] == 6
 
 
+@pytest.mark.slow
 def test_train_cli_coherent_space_to_depth(tmp_path):
     """--coherent --space_to_depth trains the MXU-packed variant and the
     exported snapshot records the flag, so evaluate_rfi_model --coherent
@@ -271,6 +277,7 @@ def test_train_cli_coherent_space_to_depth(tmp_path):
     assert 0.0 <= out["best_iou"] <= 1.0
 
 
+@pytest.mark.slow
 def test_train_cli_instance_export_and_resume(tmp_path):
     """--instance trains SOLOLite on device-generated events: custom
     event mix via --event_config, checkpoints per --checkpoint_every,
@@ -320,6 +327,7 @@ def test_visualize_static_png(tiny_dataset, tmp_path):
     assert (tmp_path / "grid.png").stat().st_size > 1000
 
 
+@pytest.mark.slow
 def test_train_cli_with_yaml_config(tiny_dataset, tmp_path):
     import yaml
 
@@ -339,6 +347,7 @@ def test_train_cli_with_yaml_config(tiny_dataset, tmp_path):
     assert result["epochs_run"] == 1
 
 
+@pytest.mark.slow
 def test_train_cli_auto_resume(tiny_dataset, tmp_path):
     args = [
         "--train_dir", str(tiny_dataset / "train"),

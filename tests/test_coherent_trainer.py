@@ -12,6 +12,9 @@ import pytest
 
 from rfi_toolbox_tpu.train import CoherentTrainer, coherent_batch, load_params
 
+# every test here trains, gates pretrained snapshots, or spawns subprocesses
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_fit():

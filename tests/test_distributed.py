@@ -16,6 +16,9 @@ import textwrap
 import numpy as np
 import pytest
 
+# every test here trains, gates pretrained snapshots, or spawns subprocesses
+pytestmark = pytest.mark.slow
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = textwrap.dedent("""
@@ -62,7 +65,6 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
 def test_two_process_distributed_smoke(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
@@ -172,7 +174,6 @@ def _run_two_process(tmp_path, script, mode, ckpt_dir):
     return losses[0]
 
 
-@pytest.mark.slow
 def test_two_process_checkpoint_restore_resumes_exactly(tmp_path):
     """Round-3 verdict #6 (multi-host beyond the smoke): a 2-process dp
     train whose process-0 Orbax checkpoint, restored in a FRESH

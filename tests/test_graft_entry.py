@@ -18,6 +18,9 @@ sys.path.insert(0, REPO_ROOT) if REPO_ROOT not in sys.path else None
 
 import __graft_entry__ as graft  # noqa: E402
 
+# every test here trains, gates pretrained snapshots, or spawns subprocesses
+pytestmark = pytest.mark.slow
+
 
 def test_entry_jits():
     fn, (variables, x) = graft.entry()

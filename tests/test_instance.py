@@ -53,6 +53,7 @@ def test_forward_shapes_space_to_depth():
                or v.shape[-1] != 8 for k, v in flat if v.ndim == 4)
 
 
+@pytest.mark.slow
 def test_instance_trainer_space_to_depth_roundtrip(tmp_path):
     """A packed-stem trainer trains, exports, and reloads with the flag
     preserved through snapshot metadata (evaluate CLI path)."""
@@ -140,6 +141,7 @@ def test_matrix_nms_suppresses_duplicate_clusters():
     assert decayed[3] == pytest.approx(0.6, abs=1e-5)   # distinct kept
 
 
+@pytest.mark.slow
 def test_instance_generator_and_loss_decreases(rng):
     gen = make_instance_sample_generator(
         64, 64,
@@ -199,6 +201,7 @@ def test_solo_decode_static_shapes():
     assert dec["classes"].shape == (64,)
 
 
+@pytest.mark.slow
 def test_instance_trainer_end_to_end(rng):
     from rfi_toolbox_tpu.train import InstanceTrainer
 
@@ -228,6 +231,7 @@ def test_instance_trainer_end_to_end(rng):
     assert dec[0]["masks"].ndim == 3
 
 
+@pytest.mark.slow
 def test_instance_trainer_fused_steps_match_sequential():
     """fused_steps=K (generation + K optimization steps in one scan
     program) must reproduce the sequential per-step path: same key
@@ -260,6 +264,7 @@ def test_instance_trainer_fused_steps_match_sequential():
     assert r3["history"][-1]["step"] == 5
 
 
+@pytest.mark.slow
 def test_instance_trainer_save_load(tmp_path, rng):
     from rfi_toolbox_tpu.train import InstanceTrainer
 
@@ -280,6 +285,7 @@ def test_instance_trainer_save_load(tmp_path, rng):
     np.testing.assert_allclose(d1["scores"], d2["scores"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_instance_trainer_checkpoint_resume(tmp_path):
     """Full Orbax checkpoint: params AND optimizer state survive, so a
     resumed run continues the same trajectory (adam moments intact)."""
@@ -305,6 +311,7 @@ def test_instance_trainer_checkpoint_resume(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_instance_trainer_max_positive_cells_plumbs():
     """max_positive_cells reaches solo_loss in both the sequential and
     fused step paths: an uncapped trainer on a dense mix reports no
@@ -331,6 +338,7 @@ def test_instance_trainer_max_positive_cells_plumbs():
     assert r_cap_fused["history"][-1].get("dropped_mask_cells", 0) > 0
 
 
+@pytest.mark.slow
 def test_instance_trainer_data_parallel_mesh_matches_single():
     """InstanceTrainer(mesh_shape=(8,)): params/opt replicated, batches
     sharded over 'data', same key stream -> same losses/params as the

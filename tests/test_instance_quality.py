@@ -138,6 +138,7 @@ def test_pretrained_sololite_all_six_family_gate():
 
 @pytest.mark.slow
 @pytest.mark.skipif(not WEIGHTS.exists(), reason="weights not present")
+@pytest.mark.slow
 def test_evaluate_instance_cli(capsys):
     from rfi_toolbox_tpu.cli.evaluate_model import main as eval_main
 

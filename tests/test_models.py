@@ -87,6 +87,7 @@ def test_create_model_registry():
         create_model("nope")
 
 
+@pytest.mark.slow
 def test_norm_variants_forward_and_grad():
     """norm='group'/'none' carry no batch_stats collection and are
     trainable (beyond-reference TPU fast modes; 'batch' is the parity
@@ -199,6 +200,7 @@ def test_space_to_depth_roundtrip(rng):
                                   np.asarray(x))
 
 
+@pytest.mark.slow
 def test_unet_space_to_depth_variant(rng):
     """MXU-packed UNet (opt-in, beyond reference): full-resolution
     output, one fewer resolution level, outermost stage at 2f channels,

@@ -9,6 +9,7 @@ WEIGHTS = Path(__file__).parent.parent / "pretrained" / "unet16_synthetic.npz"
 
 
 @pytest.mark.skipif(not WEIGHTS.exists(), reason="weights not present")
+@pytest.mark.slow
 def test_pretrained_unet_flags_rfi(rng):
     import jax
 
@@ -64,6 +65,7 @@ def test_export_load_roundtrip(tmp_path, rng):
          "sololite_synthetic.npz").exists(),
     reason="weights not present",
 )
+@pytest.mark.slow
 def test_pretrained_sololite_detects(rng):
     import jax
 
@@ -111,6 +113,7 @@ def _coherent8ch_batch(key, n, size):
 
 
 @pytest.mark.skipif(not WEIGHTS_8CH.exists(), reason="weights not present")
+@pytest.mark.slow
 def test_pretrained_8ch_coherent_unet(rng):
     """Fast smoke: the 8-channel UNet flags fresh 128^2 simulator
     output well above chance through the per-sample convention."""
@@ -170,6 +173,7 @@ WEIGHTS_16GN_S2D = (Path(__file__).parent.parent / "pretrained"
         pytest.param(WEIGHTS_16GN_S2D, 0.925, 0.927, id="unet16gn_s2d"),
     ],
 )
+@pytest.mark.slow
 def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
     """Held-out IoU QUALITY GATE (round-2 verdict #3: the smoke test
     could not catch a regressed snapshot). Evaluates at the snapshot's
@@ -224,6 +228,7 @@ WEIGHTS_UNIVERSAL = (Path(__file__).parent.parent / "pretrained"
 @pytest.mark.slow
 @pytest.mark.skipif(not WEIGHTS_UNIVERSAL.exists(),
                     reason="weights not present")
+@pytest.mark.slow
 def test_pretrained_universal_both_physics_gate(rng):
     """QUALITY GATE for the universal 3-channel snapshot: trained on a
     50/50 blend of BOTH generator families (runs/train_universal.py)

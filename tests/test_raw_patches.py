@@ -1,6 +1,7 @@
 """Tests for on-device raw-patch training."""
 
 import jax
+import pytest
 import numpy as np
 from jax import random
 
@@ -49,6 +50,7 @@ def test_augment_mask_stays_aligned(rng):
     assert mag[am].mean() > 100 * mag[~am].mean()
 
 
+@pytest.mark.slow
 def test_raw_patch_trainer_learns(rng):
     patches, masks = _raw_data(rng, n=16)
     trainer = RawPatchTrainer(UNet(init_features=4), learning_rate=3e-3,
@@ -59,6 +61,7 @@ def test_raw_patch_trainer_learns(rng):
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
 
 
+@pytest.mark.slow
 def test_device_preprocessor_to_trainer_pipeline(rng):
     base = rng.normal(1.0, 0.1, (1, 1, 128, 128))
     mask = np.zeros((1, 1, 128, 128), bool)

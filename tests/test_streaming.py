@@ -123,6 +123,7 @@ def test_streaming_reader_engagement(tmp_path, fmt, monkeypatch):
     assert flat == list(range(24))  # same deterministic order either way
 
 
+@pytest.mark.slow
 def test_trainer_fit_streaming_from_directory(tmp_path):
     import jax.numpy as jnp
 
@@ -155,6 +156,7 @@ def test_trainer_fit_streaming_from_directory(tmp_path):
     assert train_sd.max_resident_files <= 3
 
 
+@pytest.mark.slow
 def test_trainer_fit_streaming_from_generator_output(tmp_path):
     """End-to-end: SyntheticDataGenerator.generate writes batch files;
     Trainer.fit streams them straight from disk (VERDICT round-1 #2)."""
@@ -192,6 +194,7 @@ def test_trainer_fit_streaming_from_generator_output(tmp_path):
     assert np.isfinite(result["history"][0]["train_loss"])
 
 
+@pytest.mark.slow
 def test_train_cli_streaming_flag(tmp_path):
     from rfi_toolbox_tpu.cli.train_model import main as train_main
 
@@ -256,6 +259,7 @@ def test_early_abort_residency_returns_to_zero(tmp_path, fmt, pool):
     assert sd.max_resident_files <= max(peak_after_abort, 3)
 
 
+@pytest.mark.slow
 def test_trainer_fit_from_single_npz_file(tmp_path):
     """A path to ONE .npz dataset file (ArrayDataset.save_to_disk
     output) trains in-memory — path arguments cover both layouts."""
@@ -279,6 +283,7 @@ def test_trainer_fit_from_single_npz_file(tmp_path):
     assert np.isfinite(result["history"][0]["train_loss"])
 
 
+@pytest.mark.slow
 def test_streaming_smaller_than_batch_yields_partial(tmp_path):
     """A streamed dataset smaller than batch_size must behave like the
     in-memory iterator: one partial batch, not zero batches."""

@@ -151,6 +151,7 @@ def _gen_config(tmp_path, save_raw=False, n=3):
     )
 
 
+@pytest.mark.slow
 def test_generate_to_disk_preprocessed(tmp_path):
     cfg = _gen_config(tmp_path)
     out = SyntheticDataGenerator(cfg, seed=0).generate(tmp_path / "ds")
@@ -189,6 +190,7 @@ def test_simulator_clean():
     assert 0.9 < np.median(np.abs(tf["RR"])) < 1.5
 
 
+@pytest.mark.slow
 def test_simulator_rfi():
     sim = RFISimulator(time_bins=128, freq_bins=128, seed=1)
     tf, mask = sim.generate_rfi(baseline_frac=0.5)
@@ -202,6 +204,7 @@ def test_simulator_rfi():
     assert corr > 0.1
 
 
+@pytest.mark.slow
 def test_simulator_gibbs_ringing_runs():
     sim = RFISimulator(time_bins=64, freq_bins=64, seed=2)
     sim.gibbs_ringing = True
@@ -209,6 +212,7 @@ def test_simulator_gibbs_ringing_runs():
     assert np.isfinite(tf["RR"]).all()
 
 
+@pytest.mark.slow
 def test_simulator_device_batch():
     sim = RFISimulator(time_bins=64, freq_bins=64, seed=3)
     keys = random.split(random.key(0), 2)

@@ -49,6 +49,7 @@ def _fit(mesh_shape, num_epochs=3):
     return trainer, result
 
 
+@pytest.mark.slow
 def test_tp_params_actually_sharded():
     trainer, result = _fit((4, 2), num_epochs=1)
     specs = {
@@ -68,6 +69,7 @@ def test_tp_params_actually_sharded():
     assert np.isfinite(result["history"][0]["train_loss"])
 
 
+@pytest.mark.slow
 def test_dp_tp_converges_and_matches_dp_only():
     """Loss decreases over multiple steps under dp x tp, and the whole
     trajectory matches pure-dp within float tolerance (same seeds, same
@@ -97,6 +99,7 @@ def test_trainer_rejects_mesh_and_mesh_shape():
                 mesh_shape=(4, 2))
 
 
+@pytest.mark.slow
 def test_train_cli_mesh_shape(tmp_path):
     """--mesh_shape reaches the Trainer from the CLI (and from YAML)."""
     from rfi_toolbox_tpu.cli.train_model import main as train_main

@@ -50,6 +50,7 @@ def _toy_dataset(rng, n=16, size=32):
     return ArrayDataset(images, labels)
 
 
+@pytest.mark.slow
 def test_trainer_learns_toy_problem(tmp_path, rng):
     train_ds = _toy_dataset(rng, n=16)
     val_ds = _toy_dataset(rng, n=8)
@@ -89,6 +90,7 @@ def test_predict_small_batches_compile_one_shape(rng):
     ).shape == (0, 16, 16)
 
 
+@pytest.mark.slow
 def test_predict_tta_matches_flip_averaged_reference(rng):
     """tta=True must equal the hand-rolled flip-average of the plain
     forward's probabilities (exact D2 symmetry, same threshold)."""
@@ -118,6 +120,7 @@ def test_predict_tta_matches_flip_averaged_reference(rng):
     np.testing.assert_array_equal(plain, probs(imgs) > 0.5)
 
 
+@pytest.mark.slow
 def test_trainer_resume(tmp_path, rng):
     train_ds = _toy_dataset(rng, n=8)
     val_ds = _toy_dataset(rng, n=8)
@@ -136,6 +139,7 @@ def test_trainer_resume(tmp_path, rng):
     assert r2["history"][0]["epoch"] == 3
 
 
+@pytest.mark.slow
 def test_train_step_sharded_over_mesh(rng):
     """SPMD data parallelism over the 8-device CPU mesh."""
     mesh = make_mesh(axis_names=("data",))
@@ -147,6 +151,7 @@ def test_train_step_sharded_over_mesh(rng):
     assert np.isfinite(result["history"][0]["train_loss"])
 
 
+@pytest.mark.slow
 def test_fit_fused_epochs_match_sequential(rng):
     """Trainer.fit's grouped-scan epochs (fused_steps>1) must follow
     the exact loss trajectory of the per-minibatch path, including the
@@ -162,6 +167,7 @@ def test_fit_fused_epochs_match_sequential(rng):
     np.testing.assert_allclose(run(8), run(1), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_fused_train_steps_match_sequential(rng):
     """train_steps (one lax.scan program) must reproduce the exact
     losses of S sequential train_step calls — it is the bench/serving
@@ -235,6 +241,7 @@ print("DP8_OK", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_dp8_reproduces_single_device_losses(tmp_path):
     """Same data, same init: the 8-device dp step must yield the same
     loss trajectory as the single-device step (round-2 verdict #9 —

@@ -98,6 +98,7 @@ def _find(node, cls):
     return found
 
 
+@pytest.mark.slow
 def test_viewer_builds_and_slider_updates(tiny_dataset, monkeypatch):
     _install_bokeh_stub(monkeypatch)
     from rfi_toolbox_tpu.visualization.visualize import (
