@@ -79,6 +79,11 @@ def timed(fn, *args, iters=8, reps=3, attempts=3):
                          or "UNAVAILABLE" in msg)
             if not transient:
                 raise  # deterministic failure (e.g. Mosaic lowering)
+            if attempt + 1 >= attempts:
+                raise RuntimeError(
+                    f"compile never landed after {attempts} attempts "
+                    f"({msg.splitlines()[0][:80]})"
+                ) from e
             log(f"compile attempt {attempt + 1} failed "
                 f"({msg.splitlines()[0][:100]}); retrying in 120 s")
             time.sleep(120)
@@ -169,6 +174,25 @@ def main():
         f = jax.jit(lambda x, b=blk: fused_extract_channel_planes(x, block=b))
         stage(f"planes512_block{blk}_ms", lambda f=f: timed(f, base))
 
+    # HALF-SCALE full programs (B=4, K=960): the compile service has
+    # rejected every full-scale (K=1920) prep-class program since
+    # ~12:12 while accepting the (larger-FLOP) training programs — if
+    # size is the trigger these land and give the breakdown by
+    # 2-point scaling; if structure is the trigger they fail too,
+    # which is itself diagnostic
+    key = jax.random.key(5)
+    flat4, flag4 = flat[:4], flag_flat[:4]
+    for name, kw in (
+        ("full_base_b4k960", dict(extract="base", return_patches=False)),
+        ("full_planes_b4k960", dict(extract="planes", return_patches=False)),
+    ):
+        fnh = make_static_prep_fn(PATCH, 960, 4, flags_mode="custom",
+                                  use_pallas=True, **kw)
+        stage(f"{name}_ms",
+              lambda fnh=fnh: timed(lambda: fnh(flat4, flag4, key)[0],
+                                    attempts=1),
+              optional=True)
+
     # full static programs FIRST — the SHIPPED path (extract='base')
     # compiled in round 4 and is served from the persistent disk cache,
     # so these decision-critical numbers land even while the compile
@@ -227,6 +251,16 @@ def main():
 
     stage("plane_kernel_tf_ms",
           lambda: timed(plane_kernel_tf, planes, keep, attempts=1),
+          optional=True)
+
+    # half-K epilogue stages (same planes, 960 outputs) for 2-point
+    # scaling when the full-K compiles are being rejected
+    keep960 = jnp.arange(960) * (B * 4 * kpp // 960)
+    stage("gather_tf_k960_ms",
+          lambda: timed(gather_tf, planes, keep960, attempts=1),
+          optional=True)
+    stage("plane_kernel_tf_k960_ms",
+          lambda: timed(plane_kernel_tf, planes, keep960, attempts=1),
           optional=True)
 
     # the whole static program with the Pallas epilogue

@@ -147,6 +147,8 @@ WEIGHTS_32GN = (Path(__file__).parent.parent / "pretrained"
                 / "unet32gn_coherent8ch.npz")
 WEIGHTS_16GN_S2D = (Path(__file__).parent.parent / "pretrained"
                     / "unet16gn_s2d_coherent8ch.npz")
+WEIGHTS_24GN_S2D = (Path(__file__).parent.parent / "pretrained"
+                    / "unet24gn_s2d_coherent8ch.npz")
 
 
 @pytest.mark.slow
@@ -171,6 +173,12 @@ WEIGHTS_16GN_S2D = (Path(__file__).parent.parent / "pretrained"
         # the train step rate and ~0.77x the inference FLOPs (TPU
         # means 0.9350 plain / 0.9364 TTA @ 0.45, BASELINE.md round-4)
         pytest.param(WEIGHTS_16GN_S2D, 0.925, 0.927, id="unet16gn_s2d"),
+        # space-to-depth f=24 tier (round 5): beats the plain f=24
+        # flagship (TPU means 0.9351 plain / 0.9371 TTA vs
+        # 0.9339/0.9361) at 13.6 vs ~8 steps/s train; the s2d ladder
+        # is flat (f16 0.9350), so plain f=32 keeps the max-quality
+        # crown (0.9369). CPU 8-batch 0.9313 / 0.9334 @ 0.5.
+        pytest.param(WEIGHTS_24GN_S2D, 0.926, 0.928, id="unet24gn_s2d"),
     ],
 )
 @pytest.mark.slow
