@@ -258,11 +258,26 @@ def _variant_transform_block(x, v):
     """In-kernel flip/transpose of a (1, h, w) square block by variant
     id v in [orig, flipud, T, flipud.T] — identical semantics to
     static_prep._transform_by_variant (transpose first, then flip the
-    row axis)."""
+    row axis).
+
+    The row flip is an MXU matmul against the anti-identity J
+    (J @ X reverses rows): Mosaic's TC kernel lowering has no ``rev``
+    primitive (measured 2026-08-20 — "Unimplemented primitive ... rev"),
+    and a 128x128x128 f32 matmul is ~2 MFLOP, noise next to the tile's
+    HBM traffic. J is exact (0/1 entries), so the product is bit-exact
+    row reversal."""
     import jax.lax as lax
 
     x = jnp.where(v >= 2, jnp.swapaxes(x, 1, 2), x)
-    return jnp.where((v == 1) | (v == 3), lax.rev(x, (1,)), x)
+    h = x.shape[1]
+    anti = (lax.broadcasted_iota(jnp.int32, (h, h), 0)
+            + lax.broadcasted_iota(jnp.int32, (h, h), 1) == h - 1)
+    flipped = jax.lax.dot_general(
+        anti.astype(x.dtype), x[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[None]
+    return jnp.where((v == 1) | (v == 3), flipped, x)
 
 
 def _gather_tf_kernel(idx_ref, vidx_ref, re_ref, im_ref, g_ref, amp_ref,
