@@ -125,22 +125,35 @@ class UniversalCoherentTrainer(CoherentTrainer):
         return sample
 
 
-def production_eval(pred, n_waterfalls=8):
-    """Held-out 8-channel production-path eval on both families."""
+def production_eval(pred, n_waterfalls=8, chunk=2):
+    """Held-out 8-channel production-path eval on both families.
+
+    Processed ``chunk`` waterfalls at a time: the remote compile
+    service rejects programs above a peak-buffer cliff (~1 GB class,
+    CLAUDE.md round-5 note), and 8x 1024^2 4-pol through
+    flag_waterfalls_coherent is in that class; 2 at a time is not."""
     keys = random.split(random.key(HELD_OUT_KEY), n_waterfalls)
 
     sim = RFISimulator(time_bins=1024, freq_bins=1024, seed=0)
-    tf, masks = jax.jit(jax.vmap(sim.generate_rfi_device))(keys)
-    flags = flag_waterfalls_coherent(tf, pred)
-    sim_m = evaluate_segmentation(np.asarray(flags), np.asarray(masks))
-
+    sim_gen = jax.jit(jax.vmap(sim.generate_rfi_device))
     gen = jax.jit(jax.vmap(make_sample_generator(
         1024, 1024, noise_level=1.0, rfi_power_min=1000.0,
         rfi_power_max=10000.0, rfi_config=TRAINED_MIX_1024,
         num_polarizations=4, pol_corr=0.8)))
-    wf, mask, _ = gen(keys)
-    flags = flag_waterfalls_coherent(wf, pred)
-    syn_m = evaluate_segmentation(np.asarray(flags), np.asarray(mask[:, 0]))
+
+    sim_f, sim_g, syn_f, syn_g = [], [], [], []
+    for i in range(0, n_waterfalls, chunk):
+        ks = keys[i:i + chunk]
+        tf, masks = sim_gen(ks)
+        sim_f.append(np.asarray(flag_waterfalls_coherent(tf, pred)))
+        sim_g.append(np.asarray(masks))
+        wf, mask, _ = gen(ks)
+        syn_f.append(np.asarray(flag_waterfalls_coherent(wf, pred)))
+        syn_g.append(np.asarray(mask[:, 0]))
+    sim_m = evaluate_segmentation(np.concatenate(sim_f),
+                                  np.concatenate(sim_g))
+    syn_m = evaluate_segmentation(np.concatenate(syn_f),
+                                  np.concatenate(syn_g))
     return ({k: round(float(v), 4) for k, v in sim_m.items()},
             {k: round(float(v), 4) for k, v in syn_m.items()})
 
