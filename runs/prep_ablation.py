@@ -193,23 +193,18 @@ def main():
                                     attempts=1),
               optional=True)
 
-    # full static programs FIRST — the SHIPPED path (extract='base')
-    # compiled in round 4 and is served from the persistent disk cache,
-    # so these decision-critical numbers land even while the compile
-    # service is rejecting fresh 1920-patch programs (round-5 finding:
-    # the rejection is program-class-specific RESOURCE_EXHAUSTED, it
-    # compiled the same programs in round 4)
+    # PRIORITY ORDER: one failed big compile poisons the process, so
+    # each launch gets exactly ONE real attempt — the first uncached
+    # stage below. full_planes (the round-5 Pallas-epilogue candidate,
+    # smallest peak buffers, most likely below the service's rejection
+    # cliff) goes first.
     key = jax.random.key(5)
-    for name, kw in (
-        ("full_base", dict(extract="base", return_patches=False)),
-        ("full_base_patches", dict(extract="base", return_patches=True)),
-    ):
-        fn = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
-                                 use_pallas=True, **kw)
-        stage(f"{name}_ms",
-              lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0],
-                                  attempts=1),
-              optional=True)
+    fnp = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
+                              use_pallas=True, extract="planes",
+                              return_patches=False)
+    stage("full_planes_ms",
+          lambda: timed(lambda: fnp(flat, flag_flat, key)[0], attempts=1),
+          optional=True)
 
     # stage: plane gather + stack + NHWC transform (new path epilogue)
     nh = nw = C // PATCH
@@ -233,8 +228,6 @@ def main():
     planes = jax.jit(fused_extract_channel_planes)(base)
     _sync(planes[1])
     keep = jnp.arange(K) * (B * 4 * kpp // K)
-    stage("gather_tf_ms", lambda: timed(gather_tf, planes, keep, attempts=1),
-          optional=True)
 
     # round-5 candidate: the pure-DMA Pallas epilogue (plane gather +
     # in-VMEM variant transform) replacing the XLA gather+where chain
@@ -249,26 +242,33 @@ def main():
         g, lp, ph = fused_plane_gather_transform(planes, base_idx, pidx, v)
         return jnp.stack([g, lp, ph], axis=-1)
 
-    stage("plane_kernel_tf_ms",
-          lambda: timed(plane_kernel_tf, planes, keep, attempts=1),
-          optional=True)
-
     # half-K epilogue stages (same planes, 960 outputs) for 2-point
     # scaling when the full-K compiles are being rejected
     keep960 = jnp.arange(960) * (B * 4 * kpp // 960)
-    stage("gather_tf_k960_ms",
-          lambda: timed(gather_tf, planes, keep960, attempts=1),
-          optional=True)
     stage("plane_kernel_tf_k960_ms",
           lambda: timed(plane_kernel_tf, planes, keep960, attempts=1),
           optional=True)
+    stage("gather_tf_k960_ms",
+          lambda: timed(gather_tf, planes, keep960, attempts=1),
+          optional=True)
 
-    # the whole static program with the Pallas epilogue
-    fnp = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
-                              use_pallas=True, extract="planes",
-                              return_patches=False)
-    stage("full_planes_ms",
-          lambda: timed(lambda: fnp(flat, flag_flat, key)[0], attempts=1),
+    # full static programs, shipped path (extract='base')
+    for name, kw in (
+        ("full_base", dict(extract="base", return_patches=False)),
+        ("full_base_patches", dict(extract="base", return_patches=True)),
+    ):
+        fn = make_static_prep_fn(PATCH, K, 4, flags_mode="custom",
+                                 use_pallas=True, **kw)
+        stage(f"{name}_ms",
+              lambda fn=fn: timed(lambda: fn(flat, flag_flat, key)[0],
+                                  attempts=1),
+              optional=True)
+
+    # full-K epilogue stages
+    stage("gather_tf_ms", lambda: timed(gather_tf, planes, keep, attempts=1),
+          optional=True)
+    stage("plane_kernel_tf_ms",
+          lambda: timed(plane_kernel_tf, planes, keep, attempts=1),
           optional=True)
 
     # XLA jnp extraction on 1920 for reference (no Pallas)
