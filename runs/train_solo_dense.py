@@ -46,8 +46,8 @@ SNAP = OUT / "solo_dense_all6.npz"
 F = 48
 GRID = 16
 MAX_POS = 48
-STEPS1 = 36_000
-STEPS2 = 8_000
+STEPS1 = 24_000  # cut from 36k: grid-16+cap-48 runs 5.5 steps/s (2.8x slower)
+STEPS2 = 6_000
 FUSED = 10
 CHUNK = 2_000
 
