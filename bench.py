@@ -852,9 +852,49 @@ if __name__ == "__main__":
         "cold_compile": "bench_cold_compile",
     }
     _enable_cache()
+
+    def _preflight_planes_extract():
+        """Try compiling the round-5 'planes' static-prep program in a
+        SUBPROCESS (a failed big compile poisons a process — CLAUDE.md)
+        and route the headline through it on success: the Pallas
+        plane-gather-transform epilogue measured ~30% faster than the
+        gather-fused default (runs/prep_ablation.json half-scale).
+        The subprocess populates the persistent compile cache, so the
+        in-process run loads the program instead of recompiling."""
+        import os
+        import subprocess
+
+        code = (
+            "import numpy as np, jax, jax.numpy as jnp\n"
+            "from rfi_toolbox_tpu.utils import enable_compilation_cache\n"
+            "enable_compilation_cache()\n"
+            "from rfi_toolbox_tpu.preprocess.static_prep import "
+            "make_static_prep_fn\n"
+            "fn = make_static_prep_fn(128, 1920, 4, flags_mode='custom',"
+            " use_pallas=True, extract='planes', return_patches=False)\n"
+            "x = jnp.zeros((8, 1024, 1024), jnp.complex64)\n"
+            "f = jnp.zeros((8, 1024, 1024), jnp.bool_)\n"
+            "img = fn(x, f, jax.random.key(5))[0]\n"
+            "np.asarray(img.reshape(-1)[0])\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=900,
+            )
+            if proc.returncode == 0:
+                os.environ["RFI_STATIC_EXTRACT"] = "planes"
+                print("# preflight: planes-extract program compiled — "
+                      "headline routes through the Pallas epilogue",
+                      file=sys.stderr)
+        except Exception:  # noqa: BLE001
+            pass  # default routing
+
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline_s2d":
+        _preflight_planes_extract()
         main(s2d=True)
     elif len(sys.argv) > 1 and sys.argv[1] in configs:
         globals()[configs[sys.argv[1]]]()
     else:
+        _preflight_planes_extract()
         main()

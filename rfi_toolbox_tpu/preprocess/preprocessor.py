@@ -27,6 +27,7 @@ Pipeline order (create_dataset, preprocessor.py:198-411):
 """
 
 import logging
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -246,6 +247,12 @@ class Preprocessor:
                 stretch=stretch,
                 normalize_before_stretch=normalize_before_stretch,
                 normalize_after_stretch=normalize_after_stretch,
+                # extraction routing override (measurement/bench): the
+                # round-5 'planes' mode (Pallas plane-gather-transform
+                # epilogue) measured 30% faster than the gather-fused
+                # default at half scale; bench.py preflights it in a
+                # subprocess and sets this env on success
+                extract=os.environ.get("RFI_STATIC_EXTRACT", "auto"),
             )
             fn = make_static_prep_fn(
                 patch_size, int(static_num_patches),
