@@ -176,6 +176,25 @@ def test_create_dataset_routes_static_to_fused_path(monkeypatch):
     assert all(ds.labels[i].any() for i in range(len(ds)))
 
 
+def test_create_dataset_env_extract_override(monkeypatch):
+    """RFI_STATIC_EXTRACT routes the static path's extraction mode
+    (bench.py's preflight sets it to 'planes' when the Pallas epilogue
+    program compiles); outputs must match the default routing."""
+    rng = np.random.default_rng(4)
+    flat, mask = _rfi_waterfall(rng, m=2, h=96, w=96)
+    wf = np.asarray(flat)[:, None]
+    fl = np.asarray(mask)[:, None]
+    ds_default = Preprocessor(wf, flags=fl).create_dataset(
+        patch_size=32, use_custom_flags=True, seed=0, static_num_patches=12)
+    monkeypatch.setenv("RFI_STATIC_EXTRACT", "planes")
+    ds_planes = Preprocessor(wf, flags=fl).create_dataset(
+        patch_size=32, use_custom_flags=True, seed=0, static_num_patches=12)
+    np.testing.assert_allclose(np.asarray(ds_planes.images),
+                               np.asarray(ds_default.images), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ds_planes.labels),
+                                  np.asarray(ds_default.labels))
+
+
 def test_create_dataset_padded_grid_falls_back(monkeypatch):
     """Non-multiple waterfall dims must take the materialized path
     (padding does not commute with flips)."""
