@@ -181,7 +181,6 @@ WEIGHTS_24GN_S2D = (Path(__file__).parent.parent / "pretrained"
         pytest.param(WEIGHTS_24GN_S2D, 0.926, 0.928, id="unet24gn_s2d"),
     ],
 )
-@pytest.mark.slow
 def test_pretrained_8ch_held_out_iou_gate(weights, floor, tta_floor):
     """Held-out IoU QUALITY GATE (round-2 verdict #3: the smoke test
     could not catch a regressed snapshot). Evaluates at the snapshot's
@@ -236,7 +235,6 @@ WEIGHTS_UNIVERSAL = (Path(__file__).parent.parent / "pretrained"
 @pytest.mark.slow
 @pytest.mark.skipif(not WEIGHTS_UNIVERSAL.exists(),
                     reason="weights not present")
-@pytest.mark.slow
 def test_pretrained_universal_both_physics_gate(rng):
     """QUALITY GATE for the universal 3-channel snapshot: trained on a
     50/50 blend of BOTH generator families (runs/train_universal.py)
