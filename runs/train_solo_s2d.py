@@ -41,9 +41,11 @@ CKPT1 = OUT / "solo_s2d_phase1_ckpt"
 CKPT2 = OUT / "solo_s2d_phase2_ckpt"
 SNAP = OUT / "solo_s2d_all6.npz"
 
+import os
+
 F = 48
-STEPS1 = 36_000
-STEPS2 = 8_000
+STEPS1 = int(os.environ.get("STEPS1", 36_000))
+STEPS2 = int(os.environ.get("STEPS2", 8_000))
 FUSED = 10
 CHUNK = 2_000
 
