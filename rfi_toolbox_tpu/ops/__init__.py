@@ -15,7 +15,6 @@ from .fused_channels import (
     fused_extract_channel_planes,
     fused_extract_channels,
     fused_gather_extract,
-    fused_gather_extract_transform,
     fused_plane_gather_transform,
 )
 from .mad_flags import mad_flag_patches_pallas
@@ -24,7 +23,6 @@ __all__ = [
     "fused_extract_channels",
     "fused_extract_channel_planes",
     "fused_gather_extract",
-    "fused_gather_extract_transform",
     "fused_plane_gather_transform",
     "mad_flag_patches_pallas",
     "conv3x3",

@@ -32,7 +32,6 @@ __all__ = [
     "fused_extract_channels",
     "fused_extract_channel_planes",
     "fused_gather_extract",
-    "fused_gather_extract_transform",
     "fused_plane_gather_transform",
 ]
 
@@ -280,50 +279,6 @@ def _variant_transform_block(x, v):
     return jnp.where((v == 1) | (v == 3), flipped, x)
 
 
-def _gather_tf_kernel(idx_ref, vidx_ref, re_ref, im_ref, g_ref, amp_ref,
-                      phase_ref):
-    """``_gather_kernel`` + the variant flip/transpose applied in VMEM
-    before the write-back, so the caller needs no epilogue at all.
-    ``vidx_ref`` carries the VARIANT id (0-3); the gradient plane
-    selector is derived from it (_VARIANT_GRAD_PLANE = [0, 1, 0, 2])."""
-    re = re_ref[:]
-    im = im_ref[:]
-
-    amplitude = jnp.sqrt(re * re + im * im)
-    log_amp = jnp.log10(amplitude + 1e-10)
-
-    h = log_amp.shape[1]
-    shifted_r = jnp.concatenate([log_amp[:, :1], log_amp[:, : h - 1]], axis=1)
-    td_fwd = log_amp - shifted_r
-    shifted_rd = jnp.concatenate([log_amp[:, 1:], log_amp[:, h - 1:]], axis=1)
-    td_down = log_amp - shifted_rd
-    shifted_c = jnp.concatenate(
-        [log_amp[:, :, :1], log_amp[:, :, :-1]], axis=2
-    )
-    fd_fwd = log_amp - shifted_c
-    shifted_cd = jnp.concatenate(
-        [log_amp[:, :, 1:], log_amp[:, :, -1:]], axis=2
-    )
-    fd_down = log_amp - shifted_cd
-
-    v = vidx_ref[pl.program_id(0)]
-    p = jnp.where(v == 1, 1, jnp.where(v == 3, 2, 0))
-    td = jnp.where(p == 1, td_down, td_fwd)
-    fd = jnp.where(p == 2, fd_down, fd_fwd)
-    gradient = jnp.sqrt(td * td + fd * fd)
-
-    g = (_minmax_norm(gradient)
-         - jnp.float32(IMAGENET_MEAN[0])) / jnp.float32(IMAGENET_STD[0])
-    log_norm = jnp.clip((log_amp - LOG_MIN) / (LOG_MAX - LOG_MIN), 0.0, 1.0)
-    a = (log_norm - IMAGENET_MEAN[1]) / IMAGENET_STD[1]
-    phase = _atan2(im, re)
-    ph = ((phase + jnp.pi) / (2.0 * jnp.pi)
-          - IMAGENET_MEAN[2]) / IMAGENET_STD[2]
-    g_ref[:] = _variant_transform_block(g, v)
-    amp_ref[:] = _variant_transform_block(a, v)
-    phase_ref[:] = _variant_transform_block(ph, v)
-
-
 @partial(jax.jit, static_argnames=("interpret",))
 def fused_gather_extract(patches, base_idx, pidx, interpret=False):
     """Gather + variant-aware 3-channel extraction in ONE Pallas pass.
@@ -388,62 +343,6 @@ def fused_gather_extract(patches, base_idx, pidx, interpret=False):
         out_shape=(out_shape,) * 3,
         interpret=interpret,
     )(base_idx, pidx, re, im)
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_gather_extract_transform(patches, base_idx, variant,
-                                   interpret=False):
-    """:func:`fused_gather_extract` with the variant flip/transpose
-    applied IN the kernel (VMEM) before write-back — the caller's
-    entire epilogue (gradient-plane select, stack transform) reduces to
-    one ``jnp.stack`` to NHWC. Requires square patches.
-
-    Args:
-        patches: (M, H, H) complex64 (or float32) BASE patches.
-        base_idx: (K,) int32 base-patch index per output patch.
-        variant: (K,) int32 rotation-variant id per output patch in
-            reference order [orig, flipud, T, flipud.T]; the gradient
-            edge-zeroing plane is derived in-kernel.
-
-    Returns:
-        (grad, log_amp, phase) each (K, H, H) float32, ImageNet-
-        normalized, ALREADY in the variant's orientation.
-    """
-    if jnp.iscomplexobj(patches):
-        re = jnp.real(patches).astype(jnp.float32)
-        im = jnp.imag(patches).astype(jnp.float32)
-    else:
-        re = patches.astype(jnp.float32)
-        im = jnp.zeros_like(re)
-
-    _, h, w = re.shape
-    if h != w:
-        raise ValueError("in-kernel variant transform requires square patches")
-    k = base_idx.shape[0]
-    base_idx = base_idx.astype(jnp.int32)
-    variant = variant.astype(jnp.int32)
-
-    in_spec = pl.BlockSpec(
-        (1, h, w), lambda i, idx, vv: (idx[i], 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_spec = pl.BlockSpec(
-        (1, h, w), lambda i, idx, vv: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_shape = jax.ShapeDtypeStruct((k, h, w), jnp.float32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(k,),
-        in_specs=[in_spec, in_spec],
-        out_specs=(out_spec,) * 3,
-    )
-    return pl.pallas_call(
-        _gather_tf_kernel,
-        grid_spec=grid_spec,
-        out_shape=(out_shape,) * 3,
-        interpret=interpret,
-    )(base_idx, variant, re, im)
 
 
 def _plane_gather_tf_kernel(gidx_ref, lidx_ref, vidx_ref, grad_ref,

@@ -293,24 +293,6 @@ def main():
         stage(f"kernel1920_block{blk}_ms",
               lambda f=f: timed(f, gathered, attempts=1), optional=True)
 
-    # in-kernel variant transform (epilogue-free variant); Mosaic may
-    # reject the kernel transpose/rev — skip on compile failure.
-    # (results are written through per stage, so even a SIGABRT here
-    # cannot void earlier measurements)
-    from rfi_toolbox_tpu.ops import fused_gather_extract_transform
-
-    vk = jnp.asarray(np.random.default_rng(1).integers(0, 4, K), jnp.int32)
-    if "gathertf1920_ms" not in results and "gathertf1920_error" not in results:
-        try:
-            results["gathertf1920_ms"] = round(
-                timed(lambda b: fused_gather_extract_transform(b, idx, vk),
-                      base, attempts=1), 2)
-            log(f"gathertf1920: {results['gathertf1920_ms']} ms")
-        except Exception as e:  # noqa: BLE001
-            results["gathertf1920_error"] = str(e).splitlines()[0][:160]
-            log(f"gathertf1920 failed: {results['gathertf1920_error']}")
-        RESULTS_PATH.write_text(json.dumps(results, indent=1))
-
     # old-path full programs (extract='gathered' uses the 1920 kernel)
     for name, kw in (
         ("full_gathered", dict(extract="gathered", return_patches=True)),

@@ -75,42 +75,6 @@ def test_fused_gather_extract_parity(rng):
         np.asarray(ph), np.asarray(phase)[base_idx], atol=2e-5)
 
 
-def test_fused_gather_extract_transform_parity(rng):
-    """The in-kernel-transform variant equals plane-take followed by
-    the host-side flip/transpose epilogue for every variant id."""
-    import jax.numpy as jnp
-
-    from rfi_toolbox_tpu.ops import fused_gather_extract_transform
-    from rfi_toolbox_tpu.preprocess.static_prep import (
-        _VARIANT_GRAD_PLANE,
-        _transform_by_variant,
-    )
-
-    patches = _complex_patches(rng, n=5, h=32, w=32)
-    k = 19
-    base_idx = rng.integers(0, 5, size=k).astype(np.int32)
-    v = rng.integers(0, 4, size=k).astype(np.int32)
-    g, lp, ph = fused_gather_extract_transform(
-        jnp.asarray(patches), jnp.asarray(base_idx), jnp.asarray(v),
-        interpret=True)
-    grad3, logp, phase = P.extract_channel_planes(jnp.asarray(patches))
-    pidx = _VARIANT_GRAD_PLANE[v]
-    vj = jnp.asarray(v)
-    np.testing.assert_allclose(
-        np.asarray(g),
-        np.asarray(_transform_by_variant(
-            jnp.asarray(np.asarray(grad3)[pidx, base_idx]), vj)),
-        atol=2e-5)
-    np.testing.assert_allclose(
-        np.asarray(lp),
-        np.asarray(_transform_by_variant(
-            jnp.asarray(np.asarray(logp)[base_idx]), vj)), atol=2e-5)
-    np.testing.assert_allclose(
-        np.asarray(ph),
-        np.asarray(_transform_by_variant(
-            jnp.asarray(np.asarray(phase)[base_idx]), vj)), atol=2e-5)
-
-
 def test_fused_plane_gather_transform_parity(rng):
     """The pure-DMA epilogue kernel (plane gather + in-VMEM variant
     transform) is BIT-exact vs plane-take followed by the jnp
