@@ -890,11 +890,37 @@ if __name__ == "__main__":
         except Exception:  # noqa: BLE001
             pass  # default routing
 
+    def _run_with_fresh_process_retries(thunk):
+        """The remote compile service rejects big fresh compiles in
+        stretches, and one failed big compile POISONS the process
+        (CLAUDE.md) — so on a transient backend failure the bench
+        re-execs ITSELF (fresh process, same single driver invocation)
+        after a pause, up to 4 times."""
+        import os
+        import time as _t
+
+        try:
+            thunk()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            transient = ("RESOURCE_EXHAUSTED" in msg or "500" in msg
+                         or "UNAVAILABLE" in msg)
+            tries = int(os.environ.get("RFI_BENCH_RETRIES", "0"))
+            if not transient or tries >= 4:
+                raise
+            print(f"# bench transient backend failure "
+                  f"({msg.splitlines()[0][:90]}); re-exec "
+                  f"{tries + 1}/4 in 180 s", file=sys.stderr, flush=True)
+            _t.sleep(180)
+            os.environ["RFI_BENCH_RETRIES"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline_s2d":
         _preflight_planes_extract()
-        main(s2d=True)
+        _run_with_fresh_process_retries(lambda: main(s2d=True))
     elif len(sys.argv) > 1 and sys.argv[1] in configs:
-        globals()[configs[sys.argv[1]]]()
+        _run_with_fresh_process_retries(
+            lambda: globals()[configs[sys.argv[1]]]())
     else:
         _preflight_planes_extract()
-        main()
+        _run_with_fresh_process_retries(main)
