@@ -193,6 +193,20 @@ def main():
                                     attempts=1),
               optional=True)
 
+    # 2/3-scale points (B=8, K=1280): a second scaling point below the
+    # service's rejection cliff tightens the full-scale extrapolation
+    for name, kw in (
+        ("full_planes_b8k1280", dict(extract="planes",
+                                     return_patches=False)),
+        ("full_base_b8k1280", dict(extract="base", return_patches=False)),
+    ):
+        fnh = make_static_prep_fn(PATCH, 1280, 4, flags_mode="custom",
+                                  use_pallas=True, **kw)
+        stage(f"{name}_ms",
+              lambda fnh=fnh: timed(lambda: fnh(flat, flag_flat, key)[0],
+                                    attempts=1),
+              optional=True)
+
     # PRIORITY ORDER: one failed big compile poisons the process, so
     # each launch gets exactly ONE real attempt — the first uncached
     # stage below. full_planes (the round-5 Pallas-epilogue candidate,
