@@ -185,7 +185,26 @@ def main(s2d=False):
         # is pure async dispatch, so preprocessing rides the device queue
         # behind the previous train scan instead of serializing on a
         # blank-removal round trip (round-3 verdict #2)
+        import os
+
         wf, mask, _ = batch_gen(jax.random.split(key, B))
+        if os.environ.get("RFI_BENCH_SPLIT_PREP") == "1":
+            # outage fallback (preflighted in __main__): the compile
+            # service rejects K-class programs above a peak-buffer
+            # cliff in stretches; two half-batch programs do the
+            # IDENTICAL total work (recorded as prep_split in the
+            # result JSON — selection runs per half instead of jointly)
+            h = B // 2
+            parts = []
+            for sl in (slice(0, h), slice(h, B)):
+                ds = Preprocessor(wf[sl], flags=mask[sl]).create_dataset(
+                    patch_size=PATCH, use_custom_flags=True, seed=0,
+                    static_num_patches=k // 2,
+                )
+                parts.append((jnp.asarray(ds.images),
+                              jnp.asarray(ds.labels, jnp.float32)))
+            return (jnp.concatenate([p[0] for p in parts]),
+                    jnp.concatenate([p[1] for p in parts]))
         ds = Preprocessor(wf, flags=mask).create_dataset(
             patch_size=PATCH, use_custom_flags=True, seed=0,
             static_num_patches=k,
@@ -211,9 +230,17 @@ def main(s2d=False):
     # Probe: ONE host-path preprocess picks the static patch budget K
     # (the kept-count of a representative iteration, rounded down to
     # whole train batches); every steady-state iteration then processes
-    # exactly K patches via the device-side selection.
-    images, _ = preprocess(jax.random.key(0))
-    K = max((len(images) // TRAIN_BATCH) * TRAIN_BATCH, TRAIN_BATCH)
+    # exactly K patches via the device-side selection. RFI_BENCH_K
+    # skips the probe (outage fallback — the probe program is itself
+    # in the compile-rejection class; 1920 is the recorded headline K
+    # of rounds 3-5).
+    import os as _os
+
+    if _os.environ.get("RFI_BENCH_K"):
+        K = int(_os.environ["RFI_BENCH_K"])
+    else:
+        images, _ = preprocess(jax.random.key(0))
+        K = max((len(images) // TRAIN_BATCH) * TRAIN_BATCH, TRAIN_BATCH)
 
     # Warmup: compile generation, static preprocessing and train step.
     images, labels = preprocess_static(jax.random.key(0), K)
@@ -296,6 +323,9 @@ def main(s2d=False):
                 "selection": "median",
                 "window_values": [round(w, 1) for w in windows],
                 "static_patches_per_iter": K,
+                "prep_extract": _os.environ.get("RFI_STATIC_EXTRACT",
+                                                "auto"),
+                "prep_split": _os.environ.get("RFI_BENCH_SPLIT_PREP") == "1",
                 "pipeline_vs_train_only": round(
                     value / train_patches_per_s, 3
                 ),
@@ -853,15 +883,10 @@ if __name__ == "__main__":
     }
     _enable_cache()
 
-    def _preflight_planes_extract():
-        """Try compiling the round-5 'planes' static-prep program in a
-        SUBPROCESS (a failed big compile poisons a process — CLAUDE.md)
-        and route the headline through it on success: the Pallas
-        plane-gather-transform epilogue measured ~30% faster than the
-        gather-fused default (runs/prep_ablation.json half-scale).
-        The subprocess populates the persistent compile cache, so the
-        in-process run loads the program instead of recompiling."""
-        import os
+    def _try_static_compile(extract, b, k):
+        """Compile one static-prep candidate in a throwaway SUBPROCESS
+        (a failed big compile poisons a process — CLAUDE.md); on
+        success the persistent cache serves it to the bench process."""
         import subprocess
 
         code = (
@@ -870,10 +895,11 @@ if __name__ == "__main__":
             "enable_compilation_cache()\n"
             "from rfi_toolbox_tpu.preprocess.static_prep import "
             "make_static_prep_fn\n"
-            "fn = make_static_prep_fn(128, 1920, 4, flags_mode='custom',"
-            " use_pallas=True, extract='planes', return_patches=False)\n"
-            "x = jnp.zeros((8, 1024, 1024), jnp.complex64)\n"
-            "f = jnp.zeros((8, 1024, 1024), jnp.bool_)\n"
+            f"fn = make_static_prep_fn(128, {k}, 4, flags_mode='custom',"
+            f" use_pallas=True, extract='{extract}',"
+            " return_patches=False)\n"
+            f"x = jnp.zeros(({b}, 1024, 1024), jnp.complex64)\n"
+            f"f = jnp.zeros(({b}, 1024, 1024), jnp.bool_)\n"
             "img = fn(x, f, jax.random.key(5))[0]\n"
             "np.asarray(img.reshape(-1)[0])\n"
         )
@@ -882,13 +908,37 @@ if __name__ == "__main__":
                 [sys.executable, "-c", code], capture_output=True,
                 text=True, timeout=900,
             )
-            if proc.returncode == 0:
-                os.environ["RFI_STATIC_EXTRACT"] = "planes"
-                print("# preflight: planes-extract program compiled — "
-                      "headline routes through the Pallas epilogue",
-                      file=sys.stderr)
+            return proc.returncode == 0
         except Exception:  # noqa: BLE001
-            pass  # default routing
+            return False
+
+    def _preflight_planes_extract():
+        """Pick a compilable headline prep routing, best first:
+        1. full-scale 'planes' (fastest measured — runs/prep_ablation)
+        2. full-scale default ('auto' -> gather-fused): nothing to set
+        3. half-batch 'planes' x2 (outage fallback: K-class programs
+           are rejected in stretches while half-batch compiles fine)
+        4. half-batch default x2
+        Cases 3/4 also skip the (same-class) K-probe via RFI_BENCH_K,
+        and the result JSON records prep_extract/prep_split."""
+        import os
+
+        if _try_static_compile("planes", 8, 1920):
+            os.environ["RFI_STATIC_EXTRACT"] = "planes"
+            print("# preflight: full-scale planes program — headline "
+                  "routes through the Pallas epilogue", file=sys.stderr)
+            return
+        if _try_static_compile("auto", 8, 1920):
+            return  # default routing compiles
+        print("# preflight: full-scale prep rejected by the compile "
+              "service — trying the half-batch split fallback",
+              file=sys.stderr)
+        os.environ["RFI_BENCH_SPLIT_PREP"] = "1"
+        os.environ.setdefault("RFI_BENCH_K", "1920")
+        if _try_static_compile("planes", 4, 960):
+            os.environ["RFI_STATIC_EXTRACT"] = "planes"
+            return
+        _try_static_compile("auto", 4, 960)  # populate cache if possible
 
     def _run_with_fresh_process_retries(thunk):
         """The remote compile service rejects big fresh compiles in
